@@ -1,0 +1,236 @@
+"""Attention: Pallas TPU flash kernel + XLA reference fallback.
+
+The reference delegates attention to torch SDPA / flash-attn-2 CUDA kernels
+(`attn_implementation='sdpa'` in every adapter registry dict, e.g. reference
+t2v_metrics/models/vqascore_models/qwen2vl_model.py:54). Here the TPU-native
+equivalent is an online-softmax (flash) kernel written in Pallas:
+
+  * grid = (batch, heads, q_blocks, k_blocks), k innermost ("arbitrary"
+    semantics) with running max / normalizer / accumulator in VMEM scratch;
+  * supports an additive bias (T5 relative-position bias, broadcast over
+    batch), a key-padding mask, and causal masking — all resolved inside the
+    kernel so the full (Sq, Sk) score matrix is never materialized in HBM;
+  * fp32 accumulation on the MXU (`preferred_element_type`), bf16 I/O.
+
+`attention()` dispatches to the Pallas kernel on TPU and to a plain-XLA
+reference implementation elsewhere (CPU tests, tiny shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is optional at import time (CPU test envs)
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Reference (XLA) implementation — ground truth for tests and CPU path
+# ---------------------------------------------------------------------------
+
+def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
+                        scale=None):
+    """Softmax attention with fp32 softmax.
+
+    q: (B, H, Sq, D); k, v: (B, H, Sk, D)
+    bias: additive, broadcastable to (B, H, Sq, Sk)
+    kv_mask: (B, Sk) bool, True = attend
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        # Align the causal diagonal to the *end* of the kv sequence so that
+        # q position i attends kv positions <= i + (sk - sq).
+        s = jnp.where((col - (sk - sq) <= row)[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, scale, causal, sq, sk,
+                  block_q, block_k):
+    kb = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]  # (block_q, D)
+    k = k_ref[0, 0]  # (block_k, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (block_q, block_k)
+
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+
+    qb = pl.program_id(2)
+    row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    neg = jnp.float32(NEG_INF)
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0][None, :] != 0, s, neg)
+    # Mask out padding beyond true lengths.
+    s = jnp.where(col < sk, s, neg)
+    if causal:
+        s = jnp.where(col - (sk - sq) <= row, s, neg)
+
+    m_prev = m_scr[:, :1]                              # (block_q, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)          # (block_q, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # Guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)=1.
+    p = jnp.exp(s - jnp.where(m_new <= neg, 0.0, m_new))
+    p = jnp.where(s <= neg, 0.0, p)
+    alpha = jnp.exp(jnp.where(m_new <= neg, 0.0, m_prev - m_new))
+    alpha = jnp.where(m_prev <= neg, 0.0, alpha)
+
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(kb == nk - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        o_ref[0, 0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"))
+def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
+                    scale=None, block_q=128, block_k=128, interpret=False):
+    """Flash attention via Pallas. Same contract as `attention_reference`."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+
+    d_pad = max(_round_up(d, 128), 128)
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+
+    grid = (b, h, sq_pad // block_q, sk_pad // block_k)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+    ]
+    args = [qp, kp, vp]
+
+    if bias is not None:
+        bb, bh = bias.shape[0], bias.shape[1]
+        biasp = jnp.pad(bias.astype(jnp.float32),
+                        ((0, 0), (0, 0), (0, sq_pad - sq), (0, sk_pad - sk)))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_q, block_k),
+            lambda bi, hi, qi, ki, bb=bb, bh=bh: (bi if bb > 1 else 0,
+                                                  hi if bh > 1 else 0, qi, ki)))
+        args.append(biasp)
+    else:
+        in_specs.append(None)
+        args.append(None)
+
+    if kv_mask is not None:
+        maskp = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))
+        in_specs.append(pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)))
+        args.append(maskp)
+    else:
+        in_specs.append(None)
+        args.append(None)
+
+    real_specs = [s for s in in_specs if s is not None]
+    real_args = [a for a in args if a is not None]
+
+    def kernel(*refs):
+        it = iter(refs[: len(real_specs)])
+        q_ref = next(it)
+        k_ref = next(it)
+        v_ref = next(it)
+        bias_ref = next(it) if bias is not None else None
+        mask_ref = next(it) if kv_mask is not None else None
+        o_ref, m_scr, l_scr, acc_scr = refs[len(real_specs):]
+        _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+                      m_scr, l_scr, acc_scr, scale=scale, causal=causal,
+                      sq=sq, sk=sk, block_q=block_q, block_k=block_k)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=real_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*real_args)
+    return out[:, :, :sq, :d]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
+              impl: str = "auto"):
+    """Dispatching attention op.
+
+    impl: 'auto' (flash on TPU, reference elsewhere), 'flash', 'reference'.
+    """
+    if impl == "auto":
+        # Flash pays off for longer sequences; tiny shapes keep XLA fusion.
+        impl = "flash" if (_on_tpu() and q.shape[-2] * k.shape[-2] > 128 * 128
+                           and pltpu is not None) else "reference"
+    if impl == "flash":
+        return flash_attention(q, k, v, bias=bias, kv_mask=kv_mask,
+                               causal=causal, scale=scale)
+    return attention_reference(q, k, v, bias=bias, kv_mask=kv_mask,
+                               causal=causal, scale=scale)

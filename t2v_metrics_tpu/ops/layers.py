@@ -1,0 +1,99 @@
+"""Shared neural-net layer primitives (functional, pytree params).
+
+All layers are pure functions over parameter pytrees so that ``jit`` /
+``NamedSharding`` compose trivially. Norm statistics and softmax run in fp32
+regardless of activation dtype — required for score parity with the reference
+(HF computes LayerNorm/softmax in fp32 under bf16 autocast).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray | None,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """Standard LayerNorm with fp32 statistics."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6,
+             offset: float = 0.0, cast_weight_dtype: bool = True) -> jnp.ndarray:
+    """T5/Llama-style RMSNorm (no mean subtraction, no bias), fp32 accumulate.
+
+    ``offset=1.0`` gives the Gemma convention ``x * (1 + scale)``.
+    ``cast_weight_dtype``: HF T5 multiplies the normalized fp32 value after
+    casting it back to the weight dtype; keep True for parity.
+    """
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    if cast_weight_dtype:
+        y = y.astype(scale.dtype)
+    w = scale + offset if offset else scale
+    return (w * y).astype(dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's QuickGELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
+    """HF 'gelu_new' / tanh-approximate GELU (used by FlanT5 gated MLP)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT_FNS = {
+    "quick_gelu": quick_gelu,
+    "gelu_new": gelu_new,
+    "gelu": gelu_exact,
+    "gelu_pytorch_tanh": gelu_new,
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """x @ w (+ b). Weights stored (in, out)."""
+    y = x @ w
+    if b is not None:
+        y = y + b
+    return y
+
+
+def softmax_fp32(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Numerically-stable softmax computed in fp32, returned in fp32."""
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=axis)
+
+
+def log_softmax_fp32(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=axis)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(..., S, H*D) -> (..., H, S, D)"""
+    *lead, s, hd = x.shape
+    x = x.reshape(*lead, s, num_heads, hd // num_heads)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, S, D) -> (..., S, H*D)"""
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, s, h, d = x.shape
+    return x.reshape(*lead, s, h * d)

@@ -1,0 +1,123 @@
+"""Numerics tests for core ops: resize parity with PIL, attention kernels."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from t2v_metrics_tpu.ops import image as image_ops
+from t2v_metrics_tpu.ops.attention import attention_reference, flash_attention
+
+
+class TestResize:
+    @pytest.mark.parametrize("in_size,out_size", [(512, 224), (137, 224), (336, 336), (224, 336)])
+    def test_pil_bicubic_parity(self, in_size, out_size):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (in_size, in_size, 3), dtype=np.uint8)
+        pil = Image.fromarray(img).resize((out_size, out_size), Image.BICUBIC)
+        ours = image_ops.resize_np(img.astype(np.float32), out_size, out_size,
+                                   "bicubic", quantize_uint8=True)
+        # PIL uses fixed-point coefficients; allow 1 LSB on a few pixels.
+        diff = np.abs(ours - np.asarray(pil, dtype=np.float32))
+        assert diff.max() <= 1.0
+        assert (diff > 0).mean() < 0.02
+
+    def test_weights_row_stochastic(self):
+        w = image_ops.resize_weights(512, 224)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+
+    def test_device_resize_matches_np(self):
+        rng = np.random.default_rng(1)
+        img = rng.random((2, 64, 48, 3), dtype=np.float32)
+        a = image_ops.resize_np(img, 32, 32)
+        b = np.asarray(image_ops.resize(jnp.asarray(img), 32, 32))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_shortest_side(self):
+        assert image_ops.resize_shortest_side((480, 640), 224) == (224, 299)
+        assert image_ops.resize_shortest_side((640, 480), 224) == (299, 224)
+
+    def test_center_crop(self):
+        img = jnp.arange(5 * 6 * 1, dtype=jnp.float32).reshape(5, 6, 1)
+        out = image_ops.center_crop(img, 3, 4)
+        assert out.shape == (3, 4, 1)
+        assert out[0, 0, 0] == img[1, 1, 0]
+
+    def test_patchify_shape(self):
+        img = jnp.zeros((2, 32, 32, 3))
+        p = image_ops.patchify(img, 16)
+        assert p.shape == (2, 4, 768)
+
+    def test_patchify_matches_conv(self):
+        # patchify(img) @ W_flat == Conv2d(img, W) for torch layout (O, C, kh, kw)
+        import torch
+
+        rng = np.random.default_rng(2)
+        img = rng.random((1, 3, 8, 8), dtype=np.float32)  # NCHW for torch
+        w = rng.random((5, 3, 4, 4), dtype=np.float32)
+        conv = torch.nn.functional.conv2d(torch.from_numpy(img), torch.from_numpy(w), stride=4)
+        conv = conv.permute(0, 2, 3, 1).reshape(1, -1, 5).numpy()  # (1, 4, 5)
+
+        img_hwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+        patches = image_ops.patchify(img_hwc, 4)  # (1, 4, 48)
+        ours = patches @ jnp.asarray(w.reshape(5, -1).T)
+        np.testing.assert_allclose(np.asarray(ours), conv, atol=1e-4)
+
+    def test_smart_resize(self):
+        h, w = image_ops.smart_resize(480, 640)
+        assert h % 28 == 0 and w % 28 == 0
+
+
+class TestAttention:
+    def _rand(self, *shape):
+        return jnp.asarray(np.random.default_rng(0).standard_normal(shape, dtype=np.float32))
+
+    def test_reference_vs_naive(self):
+        q = self._rand(2, 3, 5, 8)
+        k = self._rand(2, 3, 7, 8)
+        v = self._rand(2, 3, 7, 8)
+        out = attention_reference(q, k, v)
+        s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(8)
+        p = jax.nn.softmax(jnp.asarray(s), axis=-1)
+        expect = np.einsum("bhqk,bhkd->bhqd", p, v)
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+    def test_flash_matches_reference(self):
+        q = self._rand(1, 2, 130, 16)
+        k = self._rand(1, 2, 200, 16)
+        v = self._rand(1, 2, 200, 16)
+        ref = attention_reference(q, k, v)
+        out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_flash_causal_and_mask(self):
+        q = self._rand(2, 2, 64, 8)
+        k = self._rand(2, 2, 64, 8)
+        v = self._rand(2, 2, 64, 8)
+        mask = jnp.asarray(np.random.default_rng(1).random((2, 64)) > 0.3)
+        ref = attention_reference(q, k, v, kv_mask=mask, causal=True)
+        out = flash_attention(q, k, v, kv_mask=mask, causal=True,
+                              block_q=64, block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_flash_with_bias(self):
+        q = self._rand(1, 4, 32, 8)
+        k = self._rand(1, 4, 48, 8)
+        v = self._rand(1, 4, 48, 8)
+        bias = self._rand(1, 4, 32, 48)
+        ref = attention_reference(q, k, v, bias=bias, scale=1.0)
+        out = flash_attention(q, k, v, bias=bias, scale=1.0,
+                              block_q=32, block_k=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_flash_t5_style_broadcast_bias(self):
+        # bias batch dim 1, broadcast over batch 2 (T5 relative position bias)
+        q = self._rand(2, 2, 16, 8)
+        k = self._rand(2, 2, 16, 8)
+        v = self._rand(2, 2, 16, 8)
+        bias = self._rand(1, 2, 16, 16)
+        ref = attention_reference(q, k, v, bias=bias, scale=1.0)
+        out = flash_attention(q, k, v, bias=bias, scale=1.0,
+                              block_q=16, block_k=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
