@@ -1,0 +1,229 @@
+"""CLIP (vision + text) in functional JAX.
+
+TPU-first re-implementation of the OpenAI/OpenCLIP dual-encoder used by the
+reference's CLIPScore metric family (reference: V_3.0_README.md:66-75 — any
+OpenCLIP checkpoint named ``pretrain_tag:Arch``, e.g. ``openai:ViT-B-32``)
+and, as a vision tower, by CLIP-FlanT5 (CLIP ViT-L/14-336, LLaVA-style
+second-to-last-layer patch features; reference:
+t2v_metrics/models/vqascore_models/mm_utils.py:182-241).
+
+Design notes (TPU):
+  * patch embedding is `patchify @ W` — one big matmul on the MXU instead of
+    a conv;
+  * params are plain pytrees (dicts) so `jit`/`NamedSharding` compose without
+    framework machinery;
+  * norm statistics and attention softmax run in fp32; weights may be bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import layers as L
+from ..ops.attention import attention
+from ..ops.image import patchify
+
+Params = Any  # nested dict pytree
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    proj_dim: int = 512
+    act: str = "quick_gelu"
+    ln_eps: float = 1e-5
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    mlp_dim: int = 2048
+    proj_dim: int = 512
+    act: str = "quick_gelu"
+    ln_eps: float = 1e-5
+
+
+# OpenCLIP architecture registry (subset used by the reference's CLIPScore;
+# ``openai:ViT-B-32`` is BASELINE config 1, ViT-L-14-336 is the CLIP-FlanT5
+# tower).
+CLIP_ARCHS = {
+    "ViT-B-32": (CLIPVisionConfig(224, 32, 768, 12, 12, 3072, 512),
+                 CLIPTextConfig(49408, 77, 512, 12, 8, 2048, 512)),
+    "ViT-B-16": (CLIPVisionConfig(224, 16, 768, 12, 12, 3072, 512),
+                 CLIPTextConfig(49408, 77, 512, 12, 8, 2048, 512)),
+    "ViT-L-14": (CLIPVisionConfig(224, 14, 1024, 24, 16, 4096, 768),
+                 CLIPTextConfig(49408, 77, 768, 12, 12, 3072, 768)),
+    "ViT-L-14-336": (CLIPVisionConfig(336, 14, 1024, 24, 16, 4096, 768),
+                     CLIPTextConfig(49408, 77, 768, 12, 12, 3072, 768)),
+}
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, d_in, d_out, dtype):
+    k1, _ = jax.random.split(key)
+    return {
+        "w": (jax.random.normal(k1, (d_in, d_out)) * d_in ** -0.5).astype(dtype),
+        "b": jnp.zeros((d_out,), dtype),
+    }
+
+
+def _init_block(key, width, mlp_dim, dtype):
+    ks = jax.random.split(key, 6)
+    return {
+        "ln1": {"scale": jnp.ones((width,), dtype), "bias": jnp.zeros((width,), dtype)},
+        "attn": {
+            "q": _init_linear(ks[0], width, width, dtype),
+            "k": _init_linear(ks[1], width, width, dtype),
+            "v": _init_linear(ks[2], width, width, dtype),
+            "o": _init_linear(ks[3], width, width, dtype),
+        },
+        "ln2": {"scale": jnp.ones((width,), dtype), "bias": jnp.zeros((width,), dtype)},
+        "mlp": {
+            "fc1": _init_linear(ks[4], width, mlp_dim, dtype),
+            "fc2": _init_linear(ks[5], mlp_dim, width, dtype),
+        },
+    }
+
+
+def init_vision(key, cfg: CLIPVisionConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.layers + 4)
+    patch_dim = 3 * cfg.patch_size ** 2
+    return {
+        "class_emb": jax.random.normal(ks[0], (cfg.width,)).astype(dtype) * 0.02,
+        "patch_w": (jax.random.normal(ks[1], (patch_dim, cfg.width)) * patch_dim ** -0.5).astype(dtype),
+        "pos_emb": jax.random.normal(ks[2], (cfg.num_patches + 1, cfg.width)).astype(dtype) * 0.02,
+        "ln_pre": {"scale": jnp.ones((cfg.width,), dtype), "bias": jnp.zeros((cfg.width,), dtype)},
+        "blocks": [_init_block(ks[3 + i], cfg.width, cfg.mlp_dim, dtype) for i in range(cfg.layers)],
+        "ln_post": {"scale": jnp.ones((cfg.width,), dtype), "bias": jnp.zeros((cfg.width,), dtype)},
+        "proj": (jax.random.normal(ks[-1], (cfg.width, cfg.proj_dim)) * cfg.width ** -0.5).astype(dtype),
+    }
+
+
+def init_text(key, cfg: CLIPTextConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.layers + 3)
+    return {
+        "tok_emb": jax.random.normal(ks[0], (cfg.vocab_size, cfg.width)).astype(dtype) * 0.02,
+        "pos_emb": jax.random.normal(ks[1], (cfg.context_length, cfg.width)).astype(dtype) * 0.01,
+        "blocks": [_init_block(ks[2 + i], cfg.width, cfg.mlp_dim, dtype) for i in range(cfg.layers)],
+        "ln_final": {"scale": jnp.ones((cfg.width,), dtype), "bias": jnp.zeros((cfg.width,), dtype)},
+        "proj": (jax.random.normal(ks[-1], (cfg.width, cfg.proj_dim)) * cfg.width ** -0.5).astype(dtype),
+    }
+
+
+def init_clip(key, vcfg: CLIPVisionConfig, tcfg: CLIPTextConfig, dtype=jnp.float32) -> Params:
+    kv, kt = jax.random.split(key)
+    return {
+        "vision": init_vision(kv, vcfg, dtype),
+        "text": init_text(kt, tcfg, dtype),
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _block(p: Params, x: jnp.ndarray, heads: int, eps: float, act: str,
+           causal: bool = False, kv_mask=None) -> jnp.ndarray:
+    h = L.layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], eps)
+    q = L.split_heads(L.linear(h, p["attn"]["q"]["w"], p["attn"]["q"]["b"]), heads)
+    k = L.split_heads(L.linear(h, p["attn"]["k"]["w"], p["attn"]["k"]["b"]), heads)
+    v = L.split_heads(L.linear(h, p["attn"]["v"]["w"], p["attn"]["v"]["b"]), heads)
+    a = attention(q, k, v, causal=causal, kv_mask=kv_mask)
+    x = x + L.linear(L.merge_heads(a), p["attn"]["o"]["w"], p["attn"]["o"]["b"])
+    h = L.layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], eps)
+    h = L.ACT_FNS[act](L.linear(h, p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"]))
+    x = x + L.linear(h, p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"])
+    return x
+
+
+def vision_tower(p: Params, cfg: CLIPVisionConfig, pixels: jnp.ndarray,
+                 feature_layer: int | None = None) -> jnp.ndarray:
+    """Run the ViT.
+
+    pixels: (B, H, W, 3) normalized.
+    feature_layer=None: pooled projected CLS embedding (B, proj_dim).
+    feature_layer=-2: LLaVA-style patch features from the second-to-last
+      block, no post-LN, CLS dropped -> (B, num_patches, width)
+      (matches HF CLIPVisionModel hidden_states[-2][:, 1:] used by
+      CLIP-FlanT5's vision tower).
+    """
+    b = pixels.shape[0]
+    x = patchify(pixels, cfg.patch_size) @ p["patch_w"]            # (B, P, W)
+    cls = jnp.broadcast_to(p["class_emb"], (b, 1, cfg.width)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_emb"]
+    x = L.layer_norm(x, p["ln_pre"]["scale"], p["ln_pre"]["bias"], cfg.ln_eps)
+
+    n_blocks = len(p["blocks"]) if feature_layer is None else len(p["blocks"]) + 1 + feature_layer
+    for blk in p["blocks"][:n_blocks]:
+        x = _block(blk, x, cfg.heads, cfg.ln_eps, cfg.act)
+
+    if feature_layer is not None:
+        return x[:, 1:, :]
+    cls_out = L.layer_norm(x[:, 0], p["ln_post"]["scale"], p["ln_post"]["bias"], cfg.ln_eps)
+    return cls_out @ p["proj"]
+
+
+def text_tower(p: Params, cfg: CLIPTextConfig, ids: jnp.ndarray) -> jnp.ndarray:
+    """ids: (B, S) int32, padded to context length with zeros after EOT.
+
+    Returns projected EOT-token embedding (B, proj_dim). EOT position =
+    argmax of token ids (CLIP BPE's EOT has the highest id, 49407), matching
+    open_clip and HF CLIPTextModel pooling.
+    """
+    x = p["tok_emb"][ids] + p["pos_emb"][: ids.shape[1]]
+    for blk in p["blocks"]:
+        x = _block(blk, x, cfg.heads, cfg.ln_eps, cfg.act, causal=True)
+    x = L.layer_norm(x, p["ln_final"]["scale"], p["ln_final"]["bias"], cfg.ln_eps)
+    eot = jnp.argmax(ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return pooled @ p["proj"]
+
+
+def encode_image(params: Params, vcfg: CLIPVisionConfig, pixels: jnp.ndarray,
+                 normalize: bool = True) -> jnp.ndarray:
+    f = vision_tower(params["vision"], vcfg, pixels)
+    if normalize:
+        f = f / jnp.linalg.norm(f.astype(jnp.float32), axis=-1, keepdims=True)
+    return f
+
+
+def encode_text(params: Params, tcfg: CLIPTextConfig, ids: jnp.ndarray,
+                normalize: bool = True) -> jnp.ndarray:
+    f = text_tower(params["text"], tcfg, ids)
+    if normalize:
+        f = f / jnp.linalg.norm(f.astype(jnp.float32), axis=-1, keepdims=True)
+    return f
+
+
+def clip_scores(params: Params, vcfg: CLIPVisionConfig, tcfg: CLIPTextConfig,
+                pixels: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """(M images, N texts) -> (M, N) cosine-similarity matrix.
+
+    The reference's CLIPScore returns raw cosine similarity per pair
+    (reference CLIPScore family, V_3.0_README.md:66-75).
+    """
+    img = encode_image(params, vcfg, pixels).astype(jnp.float32)
+    txt = encode_text(params, tcfg, ids).astype(jnp.float32)
+    return img @ txt.T

@@ -1,0 +1,277 @@
+"""T5 / FlanT5 encoder-decoder in functional JAX.
+
+Backbone for the CLIP-FlanT5 VQAScore flagship (reference architecture:
+CLIP ViT-L/14-336 features spliced into the FlanT5 *encoder* input, answer
+scored from the decoder — reference t2v_metrics/models/vqascore_models/
+mm_utils.py:142-241, V_3.0_README.md:110-125).
+
+Parity-critical T5 conventions (matched against HF T5ForConditionalGeneration):
+  * RMSNorm (no mean subtraction/bias), eps 1e-6, weight multiply in weight
+    dtype after fp32 normalization;
+  * NO 1/sqrt(d) attention scaling (scale=1.0);
+  * relative-position bias only in layer 0 of encoder (bidirectional buckets)
+    and decoder (causal buckets), shared by subsequent layers; cross-attention
+    has no bias;
+  * FlanT5: gated gelu_new MLP (wi_0 * gelu, wi_1), untied lm_head;
+    tied-embedding models scale decoder output by d_model**-0.5.
+
+Scoring runs the decoder teacher-forced over the whole answer in one pass
+(parallel over answer tokens) instead of the reference's generate() loop —
+the single biggest algorithmic win for TPU scoring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import layers as L
+from ..ops.attention import attention
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 512
+    d_kv: int = 64
+    d_ff: int = 1024
+    num_heads: int = 6
+    enc_layers: int = 8
+    dec_layers: int = 8
+    num_buckets: int = 32
+    max_distance: int = 128
+    eps: float = 1e-6
+    gated: bool = True
+    act: str = "gelu_new"
+    tie_word_embeddings: bool = False
+    decoder_start_token_id: int = 0
+    pad_token_id: int = 0
+
+
+# FlanT5 sizes (HF config values).
+T5_CONFIGS = {
+    "flan-t5-small": T5Config(d_model=512, d_kv=64, d_ff=1024, num_heads=6,
+                              enc_layers=8, dec_layers=8),
+    "flan-t5-base": T5Config(d_model=768, d_kv=64, d_ff=2048, num_heads=12,
+                             enc_layers=12, dec_layers=12),
+    "flan-t5-large": T5Config(d_model=1024, d_kv=64, d_ff=2816, num_heads=16,
+                              enc_layers=24, dec_layers=24),
+    "flan-t5-xl": T5Config(d_model=2048, d_kv=64, d_ff=5120, num_heads=32,
+                           enc_layers=24, dec_layers=24),
+    "flan-t5-xxl": T5Config(d_model=4096, d_kv=64, d_ff=10240, num_heads=64,
+                            enc_layers=24, dec_layers=24),
+}
+
+
+# ---------------------------------------------------------------------------
+# Relative position bias
+# ---------------------------------------------------------------------------
+
+def relative_position_bucket(relative_position: jnp.ndarray, bidirectional: bool,
+                             num_buckets: int, max_distance: int) -> jnp.ndarray:
+    """HF T5's bucketing of relative positions (memory_pos - query_pos)."""
+    rel = relative_position
+    buckets = jnp.zeros_like(rel)
+    if bidirectional:
+        num_buckets //= 2
+        buckets = buckets + (rel > 0).astype(jnp.int32) * num_buckets
+        rel = jnp.abs(rel)
+    else:
+        rel = -jnp.minimum(rel, 0)
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    rel_large = max_exact + (
+        jnp.log(rel.astype(jnp.float32) / max_exact + 1e-9)
+        / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    rel_large = jnp.minimum(rel_large, num_buckets - 1)
+    return buckets + jnp.where(is_small, rel, rel_large)
+
+
+def compute_position_bias(rel_emb: jnp.ndarray, qlen: int, klen: int,
+                          bidirectional: bool, num_buckets: int,
+                          max_distance: int, q_offset: int = 0) -> jnp.ndarray:
+    """rel_emb: (num_buckets, heads) -> bias (1, heads, qlen, klen)."""
+    ctx = jnp.arange(qlen)[:, None] + q_offset
+    mem = jnp.arange(klen)[None, :]
+    buckets = relative_position_bucket(mem - ctx, bidirectional, num_buckets,
+                                       max_distance)
+    bias = rel_emb[buckets]  # (qlen, klen, heads)
+    return jnp.transpose(bias, (2, 0, 1))[None]
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
+                  bias=None, kv_mask=None, causal=False) -> jnp.ndarray:
+    q = L.split_heads(x @ p["q"]["w"], heads)
+    k = L.split_heads(kv @ p["k"]["w"], heads)
+    v = L.split_heads(kv @ p["v"]["w"], heads)
+    a = attention(q, k, v, bias=bias, kv_mask=kv_mask, causal=causal, scale=1.0)
+    return L.merge_heads(a) @ p["o"]["w"]
+
+
+def _t5_mlp(p: Params, x: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
+    if cfg.gated:
+        h = L.ACT_FNS[cfg.act](x @ p["wi_0"]["w"]) * (x @ p["wi_1"]["w"])
+    else:
+        h = jax.nn.relu(x @ p["wi"]["w"])
+    return h @ p["wo"]["w"]
+
+
+def _enc_block(p: Params, x, cfg: T5Config, bias, kv_mask):
+    h = L.rms_norm(x, p["ln1"]["scale"], cfg.eps)
+    x = x + _t5_attention(p["attn"], h, h, cfg.num_heads, bias=bias, kv_mask=kv_mask)
+    h = L.rms_norm(x, p["ln2"]["scale"], cfg.eps)
+    x = x + _t5_mlp(p["mlp"], h, cfg)
+    return x
+
+
+def _dec_block(p: Params, x, enc, cfg: T5Config, self_bias, enc_mask, self_mask):
+    h = L.rms_norm(x, p["ln1"]["scale"], cfg.eps)
+    x = x + _t5_attention(p["attn"], h, h, cfg.num_heads, bias=self_bias,
+                          kv_mask=self_mask, causal=True)
+    h = L.rms_norm(x, p["ln_cross"]["scale"], cfg.eps)
+    x = x + _t5_attention(p["cross"], h, enc, cfg.num_heads, kv_mask=enc_mask)
+    h = L.rms_norm(x, p["ln2"]["scale"], cfg.eps)
+    x = x + _t5_mlp(p["mlp"], h, cfg)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder
+# ---------------------------------------------------------------------------
+
+def encode(params: Params, cfg: T5Config, input_embeds: jnp.ndarray,
+           mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """input_embeds: (B, S, d_model) — token embeds, possibly with image
+    features spliced in (CLIP-FlanT5). mask: (B, S) bool."""
+    enc = params["encoder"]
+    bias = compute_position_bias(
+        enc["blocks"][0]["attn"]["rel_bias"], input_embeds.shape[1],
+        input_embeds.shape[1], True, cfg.num_buckets, cfg.max_distance)
+    x = input_embeds
+    for blk in enc["blocks"]:
+        x = _enc_block(blk, x, cfg, bias, mask)
+    return L.rms_norm(x, enc["ln_final"]["scale"], cfg.eps)
+
+
+def decode(params: Params, cfg: T5Config, decoder_ids: jnp.ndarray,
+           enc_hidden: jnp.ndarray, enc_mask: jnp.ndarray | None = None,
+           dec_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Teacher-forced decoder pass. Returns logits (B, S_dec, vocab) fp32."""
+    dec = params["decoder"]
+    x = params["shared_emb"][decoder_ids]
+    bias = compute_position_bias(
+        dec["blocks"][0]["attn"]["rel_bias"], decoder_ids.shape[1],
+        decoder_ids.shape[1], False, cfg.num_buckets, cfg.max_distance)
+    for blk in dec["blocks"]:
+        x = _dec_block(blk, x, enc_hidden, cfg, bias, enc_mask, dec_mask)
+    x = L.rms_norm(x, dec["ln_final"]["scale"], cfg.eps)
+    if cfg.tie_word_embeddings:
+        x = x * (cfg.d_model ** -0.5)
+        logits = x @ params["shared_emb"].T
+    else:
+        logits = x @ params["lm_head"]
+    return logits.astype(jnp.float32)
+
+
+def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["shared_emb"][ids]
+
+
+def answer_log_probs(params: Params, cfg: T5Config,
+                     input_embeds: jnp.ndarray, enc_mask: jnp.ndarray,
+                     answer_ids: jnp.ndarray, answer_mask: jnp.ndarray) -> jnp.ndarray:
+    """log P(answer | encoder input), teacher-forced, per sequence.
+
+    answer_ids: (B, A) answer token ids (incl. final </s>), right-padded.
+    Returns (B,) mean per-token log-prob over real answer tokens (the
+    reference's geometric-mean rule: exp(mean log p) — reference
+    qwen2vl_model.py:289 and the v3.0 T5 loss-based scoring are both
+    exp(mean log-likelihood)).
+    """
+    enc_hidden = encode(params, cfg, input_embeds, enc_mask)
+    # shift right: decoder input = [start] + answer[:-1]
+    start = jnp.full((answer_ids.shape[0], 1), cfg.decoder_start_token_id,
+                     dtype=answer_ids.dtype)
+    dec_in = jnp.concatenate([start, answer_ids[:, :-1]], axis=1)
+    logits = decode(params, cfg, dec_in, enc_hidden, enc_mask)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_logp = jnp.take_along_axis(logp, answer_ids[..., None], axis=-1)[..., 0]
+    tok_logp = tok_logp * answer_mask
+    return tok_logp.sum(-1) / jnp.maximum(answer_mask.sum(-1), 1)
+
+
+# ---------------------------------------------------------------------------
+# Init (tests / from-scratch)
+# ---------------------------------------------------------------------------
+
+def _init_t5_attn(key, cfg: T5Config, rel_bias_buckets: int | None, dtype):
+    inner = cfg.num_heads * cfg.d_kv
+    ks = jax.random.split(key, 5)
+    p = {
+        "q": {"w": (jax.random.normal(ks[0], (cfg.d_model, inner)) * 0.02).astype(dtype), "b": None},
+        "k": {"w": (jax.random.normal(ks[1], (cfg.d_model, inner)) * 0.02).astype(dtype), "b": None},
+        "v": {"w": (jax.random.normal(ks[2], (cfg.d_model, inner)) * 0.02).astype(dtype), "b": None},
+        "o": {"w": (jax.random.normal(ks[3], (inner, cfg.d_model)) * 0.02).astype(dtype), "b": None},
+    }
+    if rel_bias_buckets:
+        p["rel_bias"] = (jax.random.normal(ks[4], (rel_bias_buckets, cfg.num_heads)) * 0.02).astype(dtype)
+    return p
+
+
+def _init_t5_mlp(key, cfg: T5Config, dtype):
+    ks = jax.random.split(key, 3)
+    if cfg.gated:
+        return {
+            "wi_0": {"w": (jax.random.normal(ks[0], (cfg.d_model, cfg.d_ff)) * 0.02).astype(dtype), "b": None},
+            "wi_1": {"w": (jax.random.normal(ks[1], (cfg.d_model, cfg.d_ff)) * 0.02).astype(dtype), "b": None},
+            "wo": {"w": (jax.random.normal(ks[2], (cfg.d_ff, cfg.d_model)) * 0.02).astype(dtype), "b": None},
+        }
+    return {
+        "wi": {"w": (jax.random.normal(ks[0], (cfg.d_model, cfg.d_ff)) * 0.02).astype(dtype), "b": None},
+        "wo": {"w": (jax.random.normal(ks[2], (cfg.d_ff, cfg.d_model)) * 0.02).astype(dtype), "b": None},
+    }
+
+
+def init_t5(key, cfg: T5Config, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, cfg.enc_layers + cfg.dec_layers + 3)
+    enc_blocks = []
+    for i in range(cfg.enc_layers):
+        ks = jax.random.split(keys[i], 2)
+        enc_blocks.append({
+            "ln1": {"scale": jnp.ones((cfg.d_model,), dtype)},
+            "attn": _init_t5_attn(ks[0], cfg, cfg.num_buckets if i == 0 else None, dtype),
+            "ln2": {"scale": jnp.ones((cfg.d_model,), dtype)},
+            "mlp": _init_t5_mlp(ks[1], cfg, dtype),
+        })
+    dec_blocks = []
+    for i in range(cfg.dec_layers):
+        ks = jax.random.split(keys[cfg.enc_layers + i], 3)
+        dec_blocks.append({
+            "ln1": {"scale": jnp.ones((cfg.d_model,), dtype)},
+            "attn": _init_t5_attn(ks[0], cfg, cfg.num_buckets if i == 0 else None, dtype),
+            "ln_cross": {"scale": jnp.ones((cfg.d_model,), dtype)},
+            "cross": _init_t5_attn(ks[1], cfg, None, dtype),
+            "ln2": {"scale": jnp.ones((cfg.d_model,), dtype)},
+            "mlp": _init_t5_mlp(ks[2], cfg, dtype),
+        })
+    return {
+        "shared_emb": (jax.random.normal(keys[-3], (cfg.vocab_size, cfg.d_model)) * 0.02).astype(dtype),
+        "encoder": {"blocks": enc_blocks,
+                    "ln_final": {"scale": jnp.ones((cfg.d_model,), dtype)}},
+        "decoder": {"blocks": dec_blocks,
+                    "ln_final": {"scale": jnp.ones((cfg.d_model,), dtype)}},
+        "lm_head": None if cfg.tie_word_embeddings else
+                   (jax.random.normal(keys[-1], (cfg.d_model, cfg.vocab_size)) * 0.02).astype(dtype),
+    }
