@@ -1,0 +1,251 @@
+"""Scoring engines: host batch assembly + jit-cached device functions.
+
+Replaces the reference's per-pair Python loop (reference score.py:104-106 —
+vision encode + prefill re-run for every (image, text) pair) with:
+
+  1. one vision-tower pass per unique image (M), cached as (M, T, D) feats;
+  2. one batched teacher-forced encoder+decoder pass per chunk of pairs,
+     shapes padded to buckets so XLA compiles a handful of programs total;
+  3. fp32 log-softmax on device; only the (P,) score vector returns to host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import DEFAULT_QUESTION_TEMPLATE, DEFAULT_ANSWER_TEMPLATE, IMAGE_TOKEN_INDEX
+from ..media.images import load_batch
+from ..models import clip_flant5 as cft5
+from ..models import clip as jclip
+from ..tokenization import splice_image_tokens_t5
+from ..parallel import mesh as pmesh
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1] if n <= buckets[-1] else ((n + 63) // 64) * 64
+
+
+ENC_BUCKETS = (640, 704, 768, 896, 1024, 1280, 1536, 2048)
+ANS_BUCKETS = (4, 8, 16, 32, 64)
+IMG_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+TXT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+class CLIPT5Engine:
+    """Device engine for CLIP-FlanT5 VQAScore.
+
+    Parameters live on device (optionally TP-sharded over a mesh); all
+    public methods take host data and return numpy.
+    """
+
+    def __init__(self, params, cfg: cft5.CLIPT5Config, tokenizer,
+                 mesh=None, max_pairs_per_call: int = 128):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.max_pairs = max_pairs_per_call
+        if mesh is not None:
+            params = pmesh.shard_params(params, mesh)
+        self.params = params
+
+        # cfg is a static dataclass — close over it rather than tracing it.
+        self._encode = jax.jit(
+            lambda params, pixels: cft5.image_features(params, cfg, pixels))
+        self._score = jax.jit(
+            lambda params, feats, ids, img_mask, img_slot, enc_mask, ans_ids,
+                   ans_mask, pair_image, pair_text:
+            cft5.score_pairs(params, cfg, feats, ids, img_mask, img_slot,
+                             enc_mask, ans_ids, ans_mask, pair_image, pair_text))
+        self._first_tok = jax.jit(
+            lambda params, feats, ids, img_mask, img_slot, enc_mask,
+                   pair_image, pair_text:
+            cft5.first_token_distribution(params, cfg, feats, ids, img_mask,
+                                          img_slot, enc_mask, pair_image,
+                                          pair_text))
+
+    # -- host-side assembly -------------------------------------------------
+
+    def _build_text_arrays(self, questions, answers):
+        """Tokenize + splice questions; bucket-pad; return numpy arrays."""
+        T = self.cfg.num_image_tokens
+        spliced = [splice_image_tokens_t5(q, self.tokenizer) for q in questions]
+        ans_tok = [self.tokenizer(a).input_ids for a in answers]
+
+        enc_lens = [len(s) - 1 + T for s in spliced]
+        S = _bucket(max(enc_lens), ENC_BUCKETS)
+        A = _bucket(max(len(a) for a in ans_tok), ANS_BUCKETS)
+        n = len(questions)
+
+        ids = np.zeros((n, S), np.int32)
+        img_mask = np.zeros((n, S), bool)
+        img_slot = np.zeros((n, S), np.int32)
+        enc_mask = np.zeros((n, S), bool)
+        ans_ids = np.zeros((n, A), np.int32)
+        ans_mask = np.zeros((n, A), np.float32)
+
+        for j, (toks, ans) in enumerate(zip(spliced, ans_tok)):
+            pos = 0
+            for t in toks:
+                if t == IMAGE_TOKEN_INDEX:
+                    img_mask[j, pos:pos + T] = True
+                    img_slot[j, pos:pos + T] = np.arange(T)
+                    pos += T
+                else:
+                    ids[j, pos] = t
+                    pos += 1
+            enc_mask[j, :pos] = True
+            ans_ids[j, :len(ans)] = ans
+            ans_mask[j, :len(ans)] = 1.0
+        return ids, img_mask, img_slot, enc_mask, ans_ids, ans_mask
+
+    def encode_images(self, images) -> jnp.ndarray:
+        """images: list of paths/arrays -> (M, T, D) device features.
+
+        M is bucket-padded (repeat-last) to bound recompilation.
+        """
+        pad_square = self.cfg.image_aspect_ratio == "pad"
+        pixels = load_batch(images, self.cfg.vision.image_size,
+                            pad_square=pad_square)
+        m = len(images)
+        mb = _bucket(m, IMG_BUCKETS)
+        if mb > m:
+            pixels = np.concatenate(
+                [pixels, np.repeat(pixels[-1:], mb - m, axis=0)])
+        feats = self._encode(self.params, pixels=jnp.asarray(pixels))
+        return feats[:m]
+
+    # -- scoring ------------------------------------------------------------
+
+    def score_matrix(self, images, texts,
+                     question_template: str | None = None,
+                     answer_template: str | None = None) -> np.ndarray:
+        """(M images) x (N texts) -> (M, N) float32 scores = exp(mean logp)."""
+        qt = question_template or DEFAULT_QUESTION_TEMPLATE
+        at = answer_template or DEFAULT_ANSWER_TEMPLATE
+        questions = [cft5.format_question(qt.format(t), self.cfg.conversation)
+                     for t in texts]
+        answers = [cft5.format_answer(at.format(t), self.cfg.conversation)
+                   for t in texts]
+        logp = self._score_pairs_all(images, questions, answers)
+        return np.exp(logp)
+
+    def _score_pairs_all(self, images, questions, answers) -> np.ndarray:
+        m, n = len(images), len(questions)
+        feats = self.encode_images(images)
+        arrays = self._build_text_arrays(questions, answers)
+        nb = _bucket(n, TXT_BUCKETS)
+        arrays = tuple(np.concatenate([a, np.repeat(a[-1:], nb - n, axis=0)])
+                       if nb > n else a for a in arrays)
+        dev = tuple(jnp.asarray(a) for a in arrays)
+
+        pair_image = np.repeat(np.arange(m, dtype=np.int32), n)
+        pair_text = np.tile(np.arange(n, dtype=np.int32), m)
+        p = m * n
+
+        chunk = min(self.max_pairs, p)
+        out = np.empty((p,), np.float32)
+        for lo in range(0, p, chunk):
+            hi = min(lo + chunk, p)
+            pi = pair_image[lo:hi]
+            pt = pair_text[lo:hi]
+            if hi - lo < chunk:  # pad last chunk
+                pad = chunk - (hi - lo)
+                pi = np.concatenate([pi, np.repeat(pi[-1:], pad)])
+                pt = np.concatenate([pt, np.repeat(pt[-1:], pad)])
+            logp = self._score(self.params, feats, *dev,
+                               pair_image=jnp.asarray(pi),
+                               pair_text=jnp.asarray(pt))
+            out[lo:hi] = np.asarray(logp, np.float32)[: hi - lo]
+        return out.reshape(m, n)
+
+    def forward_pairwise(self, images, texts, question_template=None,
+                         answer_template=None) -> np.ndarray:
+        """Reference adapter contract: len(images)==len(texts) paired scoring
+        -> (P,) scores (reference vqa_model.py:9-18)."""
+        assert len(images) == len(texts)
+        qt = question_template or DEFAULT_QUESTION_TEMPLATE
+        at = answer_template or DEFAULT_ANSWER_TEMPLATE
+        # Deduplicate images so repeated [img]*N calls still encode once.
+        uniq, inv = [], []
+        seen = {}
+        for im in images:
+            key = id(im) if not isinstance(im, (str, bytes)) else im
+            if key not in seen:
+                seen[key] = len(uniq)
+                uniq.append(im)
+            inv.append(seen[key])
+        questions = [cft5.format_question(qt.format(t), self.cfg.conversation)
+                     for t in texts]
+        answers = [cft5.format_answer(at.format(t), self.cfg.conversation)
+                   for t in texts]
+        feats = self.encode_images(uniq)
+        arrays = self._build_text_arrays(questions, answers)
+        n = len(texts)
+        nb = _bucket(n, TXT_BUCKETS)
+        arrays = tuple(np.concatenate([a, np.repeat(a[-1:], nb - n, axis=0)])
+                       if nb > n else a for a in arrays)
+        dev = tuple(jnp.asarray(a) for a in arrays)
+        pair_image = np.asarray(inv, np.int32)
+        pair_text = np.arange(n, dtype=np.int32)
+        chunk = _bucket(n, TXT_BUCKETS)
+        if chunk > n:
+            pair_image = np.concatenate([pair_image, np.repeat(pair_image[-1:], chunk - n)])
+            pair_text = np.concatenate([pair_text, np.repeat(pair_text[-1:], chunk - n)])
+        logp = self._score(self.params, feats, *dev,
+                           pair_image=jnp.asarray(pair_image),
+                           pair_text=jnp.asarray(pair_text))
+        return np.exp(np.asarray(logp, np.float32)[:n])
+
+
+class CLIPEngine:
+    """CLIPScore engine: batched dual-encoder cosine similarity."""
+
+    def __init__(self, params, vcfg: jclip.CLIPVisionConfig,
+                 tcfg: jclip.CLIPTextConfig, tokenizer, mesh=None):
+        self.vcfg, self.tcfg = vcfg, tcfg
+        self.tokenizer = tokenizer
+        if mesh is not None:
+            params = pmesh.shard_params(params, mesh)
+        self.params = params
+        self._img = jax.jit(lambda params, pixels: jclip.encode_image(params, vcfg, pixels))
+        self._txt = jax.jit(lambda params, ids: jclip.encode_text(params, tcfg, ids))
+
+    def _tokenize(self, texts) -> np.ndarray:
+        ctx = self.tcfg.context_length
+        out = np.zeros((len(texts), ctx), np.int32)
+        for i, t in enumerate(texts):
+            ids = self.tokenizer(t).input_ids[:ctx]
+            out[i, : len(ids)] = ids
+        return out
+
+    def score_matrix(self, images, texts, **_) -> np.ndarray:
+        from ..constants import CLIP_MEAN, CLIP_STD
+
+        pixels = load_batch(images, self.vcfg.image_size, CLIP_MEAN, CLIP_STD)
+        m = len(images)
+        mb = _bucket(m, IMG_BUCKETS)
+        if mb > m:
+            pixels = np.concatenate([pixels, np.repeat(pixels[-1:], mb - m, axis=0)])
+        ids = self._tokenize(texts)
+        n = len(texts)
+        nb = _bucket(n, TXT_BUCKETS)
+        if nb > n:
+            ids = np.concatenate([ids, np.repeat(ids[-1:], nb - n, axis=0)])
+        imf = np.asarray(self._img(self.params, pixels=jnp.asarray(pixels)),
+                         np.float32)[:m]
+        txf = np.asarray(self._txt(self.params, ids=jnp.asarray(ids)),
+                         np.float32)[:n]
+        return imf @ txf.T
+
+    def forward_pairwise(self, images, texts, **_) -> np.ndarray:
+        assert len(images) == len(texts)
+        # Pairwise = diagonal of the matrix over unique images/texts.
+        scores = self.score_matrix(images, texts)
+        return np.diagonal(scores).copy()

@@ -1,0 +1,86 @@
+"""Host-side image loading and model-specific preprocessing.
+
+Mirrors the reference's loader semantics (reference:
+t2v_metrics/models/model.py:10-14 — PIL open -> RGB, ``.npy`` files are
+BGR float arrays flipped to RGB) but emits batched numpy arrays ready for a
+single host->device transfer instead of per-sample torch tensors.
+
+Resize parity: Pillow's exact two-pass quantized pipeline via
+`ops.image.resize_np(..., quantize_uint8=True)`, so preprocessed pixels are
+bit-comparable with the reference's CLIPImageProcessor output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+from ..ops.image import resize_np, resize_shortest_side
+from ..constants import CLIP_MEAN, CLIP_STD
+
+
+def image_loader(path) -> np.ndarray:
+    """Load an image file (or pass through arrays/PIL) as uint8 RGB HWC."""
+    if isinstance(path, np.ndarray):
+        arr = path
+    elif isinstance(path, Image.Image):
+        arr = np.asarray(path.convert("RGB"))
+    elif str(path).endswith(".npy"):
+        arr = np.load(path)[:, :, [2, 1, 0]]  # BGR -> RGB (reference model.py:12-13)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+    else:
+        arr = np.asarray(Image.open(path).convert("RGB"))
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    return arr
+
+
+def expand2square_np(img: np.ndarray, fill_rgb) -> np.ndarray:
+    """Pad to square with a background color, image centered (reference:
+    mm_utils.py:128-139)."""
+    h, w, c = img.shape
+    if h == w:
+        return img
+    side = max(h, w)
+    out = np.empty((side, side, c), dtype=img.dtype)
+    out[:] = np.asarray(fill_rgb, dtype=img.dtype)
+    if w > h:
+        top = (side - h) // 2
+        out[top:top + h, :, :] = img
+    else:
+        left = (side - w) // 2
+        out[:, left:left + w, :] = img
+    return out
+
+
+def clip_preprocess(img: np.ndarray, size: int, mean=CLIP_MEAN, std=CLIP_STD,
+                    pad_square: bool = False) -> np.ndarray:
+    """uint8 HWC -> normalized float32 (size, size, 3).
+
+    pad_square=True: LLaVA 'pad' aspect mode — expand2square with the
+    mean color (x255) before resizing (CLIP-FlanT5's image_aspect_ratio,
+    reference mm_utils.py:188).
+    pad_square=False: torchvision Resize(shortest)+CenterCrop (OpenCLIP).
+    """
+    if pad_square:
+        fill = tuple(int(x * 255) for x in mean)
+        img = expand2square_np(img, fill)
+        out = resize_np(img, size, size, "bicubic", quantize_uint8=True)
+    else:
+        rh, rw = resize_shortest_side(img.shape[:2], size)
+        out = resize_np(img, rh, rw, "bicubic", quantize_uint8=True)
+        top = (rh - size) // 2
+        left = (rw - size) // 2
+        out = out[top:top + size, left:left + size]
+    out = out.astype(np.float32) / 255.0
+    return (out - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def load_batch(paths, size: int, mean=CLIP_MEAN, std=CLIP_STD,
+               pad_square: bool = False) -> np.ndarray:
+    """List of paths -> (N, size, size, 3) float32, one device transfer."""
+    return np.stack([
+        clip_preprocess(image_loader(p), size, mean, std, pad_square)
+        for p in paths
+    ])

@@ -1,0 +1,94 @@
+"""Device mesh + GSPMD partition specs.
+
+The reference's only multi-device mechanism is HF accelerate's layer-wise
+``device_map="auto"`` split (reference qwen2vl_model.py:120,128 et al.).
+The TPU-native replacement is tensor parallelism over ICI via GSPMD: weights
+carry `NamedSharding`s, XLA inserts the collectives (see SURVEY.md §2.4).
+
+Axes:
+  * ``dp`` — data: shards the pair/image batch dimension (DCN or ICI),
+  * ``tp`` — tensor: shards attention heads / MLP hidden of every
+    transformer in the bundle (T5 encoder+decoder, CLIP ViT, projector).
+
+Spec assignment is path-based over the param pytree: `w` leaves of q/k/v
+and up-projections shard their output dim on ``tp``; o/down-projections
+shard their input dim; embeddings and norms replicate.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
+    """Create a (dp, tp) mesh. tp=None uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp <= n, f"mesh {dp}x{tp} > {n} devices"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# Param-name -> (out-sharded?) rules. Matched against the joined pytree path.
+_COL_SHARDED = ("attn/q/w", "attn/k/w", "attn/v/w", "cross/q/w", "cross/k/w",
+                "cross/v/w", "mlp/fc1/w", "mlp/wi_0/w", "mlp/wi_1/w",
+                "mlp/wi/w", "projector/fc1/w", "lm_head", "patch_w")
+_ROW_SHARDED = ("attn/o/w", "cross/o/w", "mlp/fc2/w", "mlp/wo/w",
+                "projector/fc2/w")
+_HEAD_SHARDED = ("rel_bias",)  # (buckets, heads): shard heads
+_COL_BIAS = ("attn/q/b", "attn/k/b", "attn/v/b", "mlp/fc1/b",
+             "projector/fc1/b")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def partition_specs(params, tp_axis: str = "tp"):
+    """Pytree of PartitionSpec matching `params` (TP sharding rules)."""
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        if leaf is None or np.ndim(leaf) == 0:
+            return P()
+        if any(s.endswith(k) for k in _COL_SHARDED):
+            return P(None, tp_axis) if np.ndim(leaf) == 2 else P(tp_axis)
+        if any(s.endswith(k) for k in _ROW_SHARDED):
+            return P(tp_axis, None) if np.ndim(leaf) == 2 else P()
+        if any(s.endswith(k) for k in _HEAD_SHARDED):
+            return P(None, tp_axis)
+        if any(s.endswith(k) for k in _COL_BIAS):
+            return P(tp_axis)
+        return P(*([None] * np.ndim(leaf)))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params,
+                                            is_leaf=lambda x: x is None)
+
+
+def shard_params(params, mesh: Mesh, tp_axis: str = "tp"):
+    """Place a param pytree onto the mesh with TP shardings."""
+    specs = partition_specs(params, tp_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)) if x is not None else None,
+        params, specs, is_leaf=lambda x: x is None)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, ndim: int):
+    """Shard the leading (batch) dim over dp."""
+    return NamedSharding(mesh, P(*(["dp"] + [None] * (ndim - 1))))

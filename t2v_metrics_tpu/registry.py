@@ -1,0 +1,139 @@
+"""Model registry: name -> adapter dispatch.
+
+Mirrors the reference registry layer (reference:
+t2v_metrics/models/vqascore_models/__init__.py:14-54) with the v3.0 legacy
+scorers (CLIP-FlanT5, CLIPScore) restored per BASELINE.json.
+
+Families are registered lazily so importing the package never pulls heavy
+model code.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+
+_VQA_FAMILIES: list[tuple[Callable[[], dict], Callable]] = []
+_CLIP_FAMILIES: list[tuple[Callable[[], dict], Callable]] = []
+_ITM_FAMILIES: list[tuple[Callable[[], dict], Callable]] = []
+
+
+def _register_builtin():
+    if _VQA_FAMILIES:
+        return
+
+    def clip_t5_names():
+        from .models.adapters import CLIP_T5_MODELS
+        return CLIP_T5_MODELS
+
+    def clip_t5_build(name, device, cache_dir, **kw):
+        from .models.adapters import CLIPT5Adapter
+        return CLIPT5Adapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((clip_t5_names, clip_t5_build))
+
+    def qwen2vl_names():
+        from .models.qwen2vl import QWEN2_VL_MODELS
+        return QWEN2_VL_MODELS
+
+    def qwen2vl_build(name, device, cache_dir, **kw):
+        from .models.qwen2vl import Qwen2VLAdapter
+        return Qwen2VLAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((qwen2vl_names, qwen2vl_build))
+
+    def gpt4v_names():
+        from .remote.gpt4v import GPT4V_MODELS
+        return GPT4V_MODELS
+
+    def gpt4v_build(name, device, cache_dir, **kw):
+        from .remote.gpt4v import GPT4VAdapter
+        return GPT4VAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((gpt4v_names, gpt4v_build))
+
+    def gemini_names():
+        from .remote.gemini import GEMINI_MODELS
+        return GEMINI_MODELS
+
+    def gemini_build(name, device, cache_dir, **kw):
+        from .remote.gemini import GeminiAdapter
+        return GeminiAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((gemini_names, gemini_build))
+
+    def clipscore_names():
+        from .models.adapters import CLIP_SCORE_MODELS
+        return CLIP_SCORE_MODELS
+
+    def clipscore_build(name, device, cache_dir, **kw):
+        from .models.adapters import CLIPScoreAdapter
+        return CLIPScoreAdapter(name, device, cache_dir, **kw)
+
+    _CLIP_FAMILIES.append((clipscore_names, clipscore_build))
+
+
+def list_all_vqascore_models() -> list[str]:
+    _register_builtin()
+    out = []
+    for names_fn, _ in _VQA_FAMILIES:
+        try:
+            out.extend(names_fn().keys())
+        except ImportError:
+            pass
+    return out
+
+
+def list_all_clipscore_models() -> list[str]:
+    _register_builtin()
+    out = []
+    for names_fn, _ in _CLIP_FAMILIES:
+        out.extend(names_fn().keys())
+    return out
+
+
+def list_all_itmscore_models() -> list[str]:
+    _register_builtin()
+    out = []
+    for names_fn, _ in _ITM_FAMILIES:
+        out.extend(names_fn().keys())
+    return out
+
+
+def get_vqascore_model(model_name: str, device: str = "tpu",
+                       cache_dir: str | None = None, **kwargs):
+    _register_builtin()
+    from .constants import HF_CACHE_DIR
+    cache_dir = cache_dir or HF_CACHE_DIR
+    for names_fn, build_fn in _VQA_FAMILIES:
+        try:
+            if model_name in names_fn():
+                return build_fn(model_name, device, cache_dir, **kwargs)
+        except ImportError:
+            continue
+    raise ValueError(f"unknown VQAScore model {model_name!r}; "
+                     f"available: {list_all_vqascore_models()}")
+
+
+def get_clipscore_model(model_name: str, device: str = "tpu",
+                        cache_dir: str | None = None, **kwargs):
+    _register_builtin()
+    from .constants import HF_CACHE_DIR
+    cache_dir = cache_dir or HF_CACHE_DIR
+    for names_fn, build_fn in _CLIP_FAMILIES:
+        if model_name in names_fn():
+            return build_fn(model_name, device, cache_dir, **kwargs)
+    raise ValueError(f"unknown CLIPScore model {model_name!r}; "
+                     f"available: {list_all_clipscore_models()}")
+
+
+def get_itmscore_model(model_name: str, device: str = "tpu",
+                       cache_dir: str | None = None, **kwargs):
+    _register_builtin()
+    from .constants import HF_CACHE_DIR
+    cache_dir = cache_dir or HF_CACHE_DIR
+    for names_fn, build_fn in _ITM_FAMILIES:
+        if model_name in names_fn():
+            return build_fn(model_name, device, cache_dir, **kwargs)
+    raise ValueError(f"unknown ITMScore model {model_name!r}; "
+                     f"available: {list_all_itmscore_models()}")

@@ -1,0 +1,130 @@
+"""Score orchestrator: the public M×N scoring facade.
+
+Behavioral contract preserved from the reference (t2v_metrics/score.py:47-156):
+
+  * ``forward(images, texts, **kwargs) -> (M, N)`` score matrix; singletons
+    are promoted to lists;
+  * video paths routed by the adapter's ``video_mode``: ``"concat"`` models
+    get frames extracted and horizontally concatenated into a single image
+    (reference score.py:70-101 — here in-memory, no temp JPEG files);
+  * ``batch_forward(dataset, batch_size) -> (num_samples, M, N)`` over any
+    sequence of ``{"images": [...], "texts": [...]}`` samples (media key may
+    be ``"videos"``, reference score.py:124-127).
+
+TPU difference: the per-sample loop of the reference is replaced by the
+engine's batched pair scoring; `forward` dispatches to the adapter's
+``score_matrix`` (one vision encode per image) when available.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .registry import get_vqascore_model, list_all_vqascore_models
+from .media.video import is_video_path, extract_frames, concatenate_horizontal
+
+
+class Score:
+    """Base facade bound to a registry via subclass hooks."""
+
+    def __init__(self, model: str, device: str = "tpu",
+                 cache_dir: str | None = None, **kwargs):
+        assert model in self.list_all_models(), \
+            f"model {model!r} not found; available: {self.list_all_models()}"
+        self.device = device
+        self.model = self.prepare_scoremodel(model, device, cache_dir, **kwargs)
+
+    def prepare_scoremodel(self, model, device, cache_dir, **kwargs):
+        raise NotImplementedError
+
+    def list_all_models(self) -> list[str]:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+
+    def _preprocess_media(self, images, num_frames: int):
+        """Apply the video->concat route for image-only models."""
+        if getattr(self.model, "video_mode", "direct") != "concat":
+            return images
+        out = []
+        for image in images:
+            if is_video_path(image):
+                frames = extract_frames(image, num_frames, mode="step")
+                out.append(concatenate_horizontal(frames, dist=10))
+            else:
+                out.append(image)
+        return out
+
+    def forward(self, images, texts, num_frames: int = 8, **kwargs) -> np.ndarray:
+        if isinstance(images, (str, np.ndarray)):
+            images = [images]
+        if isinstance(texts, str):
+            texts = [texts]
+        processed = self._preprocess_media(list(images), num_frames)
+
+        if hasattr(self.model, "score_matrix"):
+            scores = self.model.score_matrix(processed, list(texts), **kwargs)
+        else:
+            # API adapters: pairwise row loop (reference score.py:104-106).
+            rows = [np.asarray(self.model.forward([img] * len(texts),
+                                                  list(texts), **kwargs))
+                    for img in processed]
+            scores = np.stack(rows)
+        return np.asarray(scores, np.float32)
+
+    __call__ = forward
+
+    def batch_forward(self, dataset, batch_size: int = 16, **kwargs) -> np.ndarray:
+        """dataset: sequence of {"images"|"videos": [...], "texts": [...]}.
+
+        Returns (num_samples, num_media, num_texts) float32.
+        """
+        first = dataset[0]
+        media_key = "videos" if "videos" in first else "images"
+        num_media = len(first[media_key])
+        num_texts = len(first["texts"])
+        n = len(dataset)
+        out = np.zeros((n, num_media, num_texts), np.float32)
+        try:
+            from tqdm import tqdm
+            iterator = tqdm(range(n), desc="batch_forward")
+        except ImportError:  # pragma: no cover
+            iterator = range(n)
+        for idx in iterator:
+            sample = dataset[idx]
+            out[idx] = self.forward(sample[media_key], sample["texts"], **kwargs)
+        return out
+
+
+class VQAScore(Score):
+    """P("Yes") answer-likelihood scoring (reference vqascore.py:9-22)."""
+
+    def prepare_scoremodel(self, model, device, cache_dir, **kwargs):
+        return get_vqascore_model(model, device, cache_dir, **kwargs)
+
+    def list_all_models(self) -> list[str]:
+        return list_all_vqascore_models()
+
+
+class CLIPScore(Score):
+    """CLIP cosine-similarity scoring (reference v3.0 CLIPScore family)."""
+
+    def prepare_scoremodel(self, model, device, cache_dir, **kwargs):
+        from .registry import get_clipscore_model
+        return get_clipscore_model(model, device, cache_dir, **kwargs)
+
+    def list_all_models(self) -> list[str]:
+        from .registry import list_all_clipscore_models
+        return list_all_clipscore_models()
+
+
+class ITMScore(Score):
+    """Image-text-matching scoring (reference v3.0 ITMScore family)."""
+
+    def prepare_scoremodel(self, model, device, cache_dir, **kwargs):
+        from .registry import get_itmscore_model
+        return get_itmscore_model(model, device, cache_dir, **kwargs)
+
+    def list_all_models(self) -> list[str]:
+        from .registry import list_all_itmscore_models
+        return list_all_itmscore_models()
