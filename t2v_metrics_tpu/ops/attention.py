@@ -95,7 +95,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     neg = jnp.float32(NEG_INF)
     if mask_ref is not None:
-        s = jnp.where(mask_ref[0][None, :] != 0, s, neg)
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, s, neg)
     # Mask out padding beyond true lengths.
     s = jnp.where(col < sk, s, neg)
     if causal:
@@ -171,8 +171,11 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         args.append(None)
 
     if kv_mask is not None:
-        maskp = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))
-        in_specs.append(pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)))
+        # (B, 1, Sk): keeps the last-two-dims TPU tiling constraint happy.
+        maskp = jnp.pad(kv_mask.astype(jnp.int32),
+                        ((0, 0), (0, sk_pad - sk)))[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda bi, hi, qi, ki: (bi, 0, ki)))
         args.append(maskp)
     else:
         in_specs.append(None)
