@@ -54,6 +54,16 @@ def expand2square_np(img: np.ndarray, fill_rgb) -> np.ndarray:
     return out
 
 
+def _pil_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-path bicubic resize via Pillow's SIMD C kernels.
+
+    This *is* the parity reference (the device matmul path in
+    ops/image.py is tested against it); on host, Pillow is ~100x faster
+    than naive numpy einsum, so the hot preprocessing path uses it.
+    """
+    return np.asarray(Image.fromarray(img).resize((out_w, out_h), Image.BICUBIC))
+
+
 def clip_preprocess(img: np.ndarray, size: int, mean=CLIP_MEAN, std=CLIP_STD,
                     pad_square: bool = False) -> np.ndarray:
     """uint8 HWC -> normalized float32 (size, size, 3).
@@ -66,10 +76,10 @@ def clip_preprocess(img: np.ndarray, size: int, mean=CLIP_MEAN, std=CLIP_STD,
     if pad_square:
         fill = tuple(int(x * 255) for x in mean)
         img = expand2square_np(img, fill)
-        out = resize_np(img, size, size, "bicubic", quantize_uint8=True)
+        out = _pil_resize(img, size, size)
     else:
         rh, rw = resize_shortest_side(img.shape[:2], size)
-        out = resize_np(img, rh, rw, "bicubic", quantize_uint8=True)
+        out = _pil_resize(img, rh, rw)
         top = (rh - size) // 2
         left = (rw - size) // 2
         out = out[top:top + size, left:left + size]

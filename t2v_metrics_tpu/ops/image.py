@@ -190,9 +190,9 @@ def resize_np(img: np.ndarray, out_h: int, out_w: int, filter: str = "bicubic",
     ww = resize_weights(w, out_w, filter)
     x = img.astype(np.float32)
     if quantize_uint8:
-        x = np.einsum("pw,...hwc->...hpc", ww, x)        # horizontal first
+        x = np.einsum("pw,...hwc->...hpc", ww, x, optimize=True)  # horizontal
         x = np.clip(np.floor(x + 0.5), 0.0, 255.0)
-        x = np.einsum("oh,...hpc->...opc", wh, x)        # then vertical
+        x = np.einsum("oh,...hpc->...opc", wh, x, optimize=True)  # vertical
         return np.clip(np.floor(x + 0.5), 0.0, 255.0)
-    out = np.einsum("oh,...hwc->...owc", wh, x)
-    return np.einsum("pw,...owc->...opc", ww, out)
+    out = np.einsum("oh,...hwc->...owc", wh, x, optimize=True)
+    return np.einsum("pw,...owc->...opc", ww, out, optimize=True)
