@@ -19,9 +19,14 @@ calls). vs_baseline = measured / 6.0.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# zero-egress: fail tokenizer lookups fast instead of 5 retries w/ backoff
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 HF_GPU_BASELINE_PAIRS_PER_SEC = 6.0
 
