@@ -1,0 +1,212 @@
+"""Generic decoder-only transformer (GQA + RoPE/M-RoPE), functional JAX.
+
+Backbone for the Qwen-family language models (and structured so Gemma/Qwen3
+variants are config switches). Matches HF Qwen2/Qwen2.5 semantics:
+
+  * RMSNorm (pre-norm), fp32 stats;
+  * grouped-query attention, q/k/v bias (Qwen2), o no bias;
+  * rotary embeddings computed in fp32; Qwen2.5-VL's M-RoPE applies three
+    position streams (t/h/w) interleaved over head-dim sections
+    (HF apply_multimodal_rotary_pos_emb — mrope_section tiled x2, stream
+    i%3 per section);
+  * SwiGLU MLP, no bias; optional tied lm_head.
+
+Supports an optional KV cache for greedy generation (static max-length
+buffers + dynamic_update_slice, jit/while_loop friendly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import layers as L
+from ..ops.attention import attention
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 152064
+    d_model: int = 3584
+    layers: int = 28
+    heads: int = 28
+    kv_heads: int = 4
+    head_dim: int = 128
+    d_ff: int = 18944
+    act: str = "silu"
+    rms_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    mrope_section: tuple | None = (16, 24, 24)  # None -> standard 1D RoPE
+    qkv_bias: bool = True
+    tie_embeddings: bool = False
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(cfg: DecoderConfig, position_ids: jnp.ndarray):
+    """position_ids: (B, S) or (3, B, S) for M-RoPE.
+
+    Returns cos/sin of shape (B, S, head_dim) with M-RoPE sections already
+    merged (so downstream application is uniform).
+    """
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    if position_ids.ndim == 2:
+        pos = position_ids[None].astype(jnp.float32)  # (1, B, S)
+    else:
+        pos = position_ids.astype(jnp.float32)        # (3, B, S)
+    freqs = pos[..., None] * inv_freq                 # (streams, B, S, half)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)    # (streams, B, S, dim)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    if position_ids.ndim == 2 or cfg.mrope_section is None:
+        return cos[0], sin[0]
+    # M-RoPE: section i (of the x2-tiled mrope_section) comes from stream i%3.
+    sections = list(cfg.mrope_section) * 2
+    out_cos, out_sin = [], []
+    start = 0
+    for i, sec in enumerate(sections):
+        out_cos.append(cos[i % 3, :, :, start:start + sec])
+        out_sin.append(sin[i % 3, :, :, start:start + sec])
+        start += sec
+    return (jnp.concatenate(out_cos, axis=-1), jnp.concatenate(out_sin, axis=-1))
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, H, S, D); cos/sin: (B, S, D)."""
+    c = cos[:, None].astype(jnp.float32)
+    s = sin[:, None].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    return ((x32 * c) + (_rotate_half(x32) * s)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
+          cache_pos=None):
+    b, s, _ = x.shape
+    q = L.linear(x, p["q"]["w"], p["q"].get("b"))
+    k = L.linear(x, p["k"]["w"], p["k"].get("b"))
+    v = L.linear(x, p["v"]["w"], p["v"].get("b"))
+    q = q.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_layer is not None:
+        # append to static-size cache at cache_pos
+        ck = jax.lax.dynamic_update_slice(cache_layer["k"], k, (0, 0, cache_pos, 0))
+        cv = jax.lax.dynamic_update_slice(cache_layer["v"], v, (0, 0, cache_pos, 0))
+        k_full, v_full = ck, cv
+        new_cache = {"k": ck, "v": cv}
+    else:
+        k_full, v_full = k, v
+        new_cache = None
+
+    rep = cfg.heads // cfg.kv_heads
+    k_rep = jnp.repeat(k_full, rep, axis=1)
+    v_rep = jnp.repeat(v_full, rep, axis=1)
+
+    if cache_layer is not None:
+        # decoding: q len is small; mask must cover cache length
+        out = attention(q, k_rep, v_rep, kv_mask=mask, causal=False,
+                        impl="reference")
+    else:
+        out = attention(q, k_rep, v_rep, kv_mask=mask, causal=True)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * cfg.head_dim)
+    return L.linear(out, p["o"]["w"], p["o"].get("b")), new_cache
+
+
+def _mlp(p, cfg: DecoderConfig, x):
+    h = L.ACT_FNS[cfg.act](x @ p["gate"]["w"]) * (x @ p["up"]["w"])
+    return h @ p["down"]["w"]
+
+
+def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
+            position_ids: jnp.ndarray, attn_mask: jnp.ndarray | None = None,
+            cache=None, cache_pos=None):
+    """embeds: (B, S, D). Returns (logits fp32, new_cache).
+
+    Without cache: full causal self-attention (teacher-forced scoring).
+    With cache: appends this chunk's k/v at cache_pos; attn_mask must be the
+    (B, max_len) validity mask of the cache after insertion.
+    """
+    cos, sin = rope_cos_sin(cfg, position_ids)
+    x = embeds
+    new_cache = []
+    for i, blk in enumerate(params["blocks"]):
+        h = L.rms_norm(x, blk["ln1"]["scale"], cfg.rms_eps)
+        a, nc = _attn(blk["attn"], cfg, h, cos, sin, attn_mask,
+                      None if cache is None else cache[i], cache_pos)
+        x = x + a
+        h = L.rms_norm(x, blk["ln2"]["scale"], cfg.rms_eps)
+        x = x + _mlp(blk["mlp"], cfg, h)
+        new_cache.append(nc)
+    x = L.rms_norm(x, params["ln_final"]["scale"], cfg.rms_eps)
+    if cfg.tie_embeddings:
+        logits = x @ params["embed"].T
+    else:
+        logits = x @ params["lm_head"]
+    return logits.astype(jnp.float32), (new_cache if cache is not None else None)
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    return [{"k": jnp.zeros((batch, cfg.kv_heads, max_len, cfg.head_dim), dtype),
+             "v": jnp.zeros((batch, cfg.kv_heads, max_len, cfg.head_dim), dtype)}
+            for _ in range(cfg.layers)]
+
+
+# ---------------------------------------------------------------------------
+# Init (tests)
+# ---------------------------------------------------------------------------
+
+def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.layers + 2)
+
+    def lin(k, din, dout, bias):
+        p = {"w": (jax.random.normal(k, (din, dout)) * din ** -0.5).astype(dtype)}
+        p["b"] = jnp.zeros((dout,), dtype) if bias else None
+        return p
+
+    blocks = []
+    inner = cfg.heads * cfg.head_dim
+    kv_inner = cfg.kv_heads * cfg.head_dim
+    for i in range(cfg.layers):
+        sub = jax.random.split(ks[i], 7)
+        blocks.append({
+            "ln1": {"scale": jnp.ones((cfg.d_model,), dtype)},
+            "attn": {
+                "q": lin(sub[0], cfg.d_model, inner, cfg.qkv_bias),
+                "k": lin(sub[1], cfg.d_model, kv_inner, cfg.qkv_bias),
+                "v": lin(sub[2], cfg.d_model, kv_inner, cfg.qkv_bias),
+                "o": lin(sub[3], inner, cfg.d_model, False),
+            },
+            "ln2": {"scale": jnp.ones((cfg.d_model,), dtype)},
+            "mlp": {
+                "gate": lin(sub[4], cfg.d_model, cfg.d_ff, False),
+                "up": lin(sub[5], cfg.d_model, cfg.d_ff, False),
+                "down": lin(sub[6], cfg.d_ff, cfg.d_model, False),
+            },
+        })
+    out = {
+        "embed": (jax.random.normal(ks[-2], (cfg.vocab_size, cfg.d_model)) * 0.02).astype(dtype),
+        "blocks": blocks,
+        "ln_final": {"scale": jnp.ones((cfg.d_model,), dtype)},
+    }
+    if not cfg.tie_embeddings:
+        out["lm_head"] = (jax.random.normal(ks[-1], (cfg.d_model, cfg.vocab_size)) * 0.02).astype(dtype)
+    return out

@@ -37,12 +37,15 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
-                        scale=None):
+                        scale=None, segment_ids=None):
     """Softmax attention with fp32 softmax.
 
     q: (B, H, Sq, D); k, v: (B, H, Sk, D)
     bias: additive, broadcastable to (B, H, Sq, Sk)
     kv_mask: (B, Sk) bool, True = attend
+    segment_ids: (B, S) int; position i may only attend j when
+      segment_ids[i] == segment_ids[j] (requires Sq == Sk). Used for
+      block-diagonal window attention (Qwen ViT) and packed sequences.
     """
     d = q.shape[-1]
     if scale is None:
@@ -53,6 +56,9 @@ def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
         s = s + bias.astype(jnp.float32)
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
+    if segment_ids is not None:
+        same = segment_ids[:, :, None] == segment_ids[:, None, :]
+        s = jnp.where(same[:, None], s, NEG_INF)
     if causal:
         sq, sk = s.shape[-2], s.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
@@ -69,8 +75,8 @@ def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
 # Pallas flash kernel
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, scale, causal, sq, sk,
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
+                  o_ref, m_scr, l_scr, acc_scr, *, scale, causal, sq, sk,
                   block_q, block_k):
     kb = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -96,6 +102,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
     neg = jnp.float32(NEG_INF)
     if mask_ref is not None:
         s = jnp.where(mask_ref[0, 0][None, :] != 0, s, neg)
+    if segq_ref is not None:
+        same = segq_ref[0, 0][:, None] == segk_ref[0, 0][None, :]
+        s = jnp.where(same, s, neg)
     # Mask out padding beyond true lengths.
     s = jnp.where(col < sk, s, neg)
     if causal:
@@ -133,7 +142,8 @@ def _round_up(x: int, m: int) -> int:
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "interpret"))
 def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
-                    scale=None, block_q=128, block_k=128, interpret=False):
+                    scale=None, block_q=128, block_k=128, interpret=False,
+                    segment_ids=None):
     """Flash attention via Pallas. Same contract as `attention_reference`."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -181,6 +191,21 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         in_specs.append(None)
         args.append(None)
 
+    if segment_ids is not None:
+        assert sq == sk, "segment_ids requires square attention"
+        # pad with -1 so padded positions never match a real segment
+        segp = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)),
+                       constant_values=-1)[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, block_q),
+                                     lambda bi, hi, qi, ki: (bi, 0, qi)))
+        args.append(segp)
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda bi, hi, qi, ki: (bi, 0, ki)))
+        args.append(segp)
+    else:
+        in_specs.extend([None, None])
+        args.extend([None, None])
+
     real_specs = [s for s in in_specs if s is not None]
     real_args = [a for a in args if a is not None]
 
@@ -191,10 +216,13 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         v_ref = next(it)
         bias_ref = next(it) if bias is not None else None
         mask_ref = next(it) if kv_mask is not None else None
+        segq_ref = next(it) if segment_ids is not None else None
+        segk_ref = next(it) if segment_ids is not None else None
         o_ref, m_scr, l_scr, acc_scr = refs[len(real_specs):]
-        _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
-                      m_scr, l_scr, acc_scr, scale=scale, causal=causal,
-                      sq=sq, sk=sk, block_q=block_q, block_k=block_k)
+        _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
+                      segk_ref, o_ref, m_scr, l_scr, acc_scr, scale=scale,
+                      causal=causal, sq=sq, sk=sk, block_q=block_q,
+                      block_k=block_k)
 
     out = pl.pallas_call(
         kernel,
@@ -223,7 +251,7 @@ def _on_tpu() -> bool:
 
 
 def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
-              impl: str = "auto"):
+              impl: str = "auto", segment_ids=None):
     """Dispatching attention op.
 
     impl: 'auto' (flash on TPU, reference elsewhere), 'flash', 'reference'.
@@ -234,6 +262,8 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
                            and pltpu is not None) else "reference"
     if impl == "flash":
         return flash_attention(q, k, v, bias=bias, kv_mask=kv_mask,
-                               causal=causal, scale=scale)
+                               causal=causal, scale=scale,
+                               segment_ids=segment_ids)
     return attention_reference(q, k, v, bias=bias, kv_mask=kv_mask,
-                               causal=causal, scale=scale)
+                               causal=causal, scale=scale,
+                               segment_ids=segment_ids)

@@ -121,3 +121,24 @@ class TestAttention:
         out = flash_attention(q, k, v, bias=bias, scale=1.0,
                               block_q=16, block_k=16, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestSegmentAttention:
+    def _rand(self, *shape):
+        return jnp.asarray(np.random.default_rng(3).standard_normal(shape, dtype=np.float32))
+
+    def test_segment_ids_reference(self):
+        q = self._rand(1, 2, 8, 4)
+        seg = jnp.asarray([[0, 0, 0, 1, 1, 2, 2, 2]])
+        out = attention_reference(q, q, q, segment_ids=seg)
+        # block 0 must equal attention over only its own slice
+        sub = attention_reference(q[:, :, :3], q[:, :, :3], q[:, :, :3])
+        np.testing.assert_allclose(np.asarray(out[:, :, :3]), np.asarray(sub), atol=1e-5)
+
+    def test_flash_segment_matches_reference(self):
+        q = self._rand(2, 2, 96, 8)
+        seg = jnp.asarray(np.random.default_rng(4).integers(0, 3, (2, 96)))
+        ref = attention_reference(q, q, q, segment_ids=seg)
+        out = flash_attention(q, q, q, segment_ids=seg, block_q=32, block_k=32,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
