@@ -71,6 +71,7 @@ class Qwen2VLConfig:
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
+    vision_end_token_id: int = 151653
 
 
 QWEN2_VL_MODELS = {
@@ -116,7 +117,8 @@ QWEN2_VL_MODELS = {
                                     d_ff=64, out_hidden=48),
             text=dec.DecoderConfig(vocab_size=512, d_model=48, layers=2,
                                    heads=4, kv_heads=2, head_dim=12, d_ff=96),
-            image_token_id=501, video_token_id=502, vision_start_token_id=503),
+            image_token_id=501, video_token_id=502, vision_start_token_id=503,
+            vision_end_token_id=504),
     },
 }
 
@@ -145,7 +147,7 @@ def image_to_patches(img: np.ndarray, cfg: QwenVisionConfig,
     x = img.astype(np.float32) / 255.0
     x = (x - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
     x = x.transpose(2, 0, 1)[None]                       # (1, C, H, W)
-    return frames_to_patches(x, cfg), None
+    return frames_to_patches(x, cfg)
 
 
 def frames_to_patches(frames_nchw: np.ndarray, cfg: QwenVisionConfig):

@@ -1,0 +1,432 @@
+"""Qwen2.5-VL scoring adapter: registry-facing class + batched TPU engine.
+
+Behavior contract from reference qwen2vl_model.py:
+  * forward(): P(answer tokens) with manual-temperature fp32 softmax
+    (:160-167), geometric mean over answer tokens (:289), default template
+    'Does this figure show "{}"? Please answer Yes or No.' (:173-174);
+  * video paths sampled at fps (default 8.0) with max_pixels=360*420
+    (:135-158), fps="dynamic" lets the sampler pick;
+  * forward_with_trace(): per-token trace dicts with top-5 alternatives and
+    score_position start/end semantics (:303-493);
+  * generate(): greedy / temperature+top_p sampling, decoded continuation
+    (:495-563).
+
+TPU engine: one vision-tower call per unique image/video (patch count
+bucketed), one batched teacher-forced decoder prefill per pair chunk; greedy
+decode uses a KV cache with static buffers.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import VIDEO_EXTENSIONS
+from ..media.images import image_loader
+from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
+from .adapters import VQAScoreModel, _default_dtype
+from . import qwen2vl as q
+from . import decoder as dec
+
+DEFAULT_QWEN_QUESTION = 'Does this figure show "{}"? Please answer Yes or No.'
+DEFAULT_QWEN_ANSWER = "Yes"
+
+_CHAT_PRE = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n"
+_CHAT_POST = "{question}<|im_end|>\n<|im_start|>assistant\n"
+
+SEQ_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+PATCH_BUCKETS = (256, 512, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384)
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+class Qwen2VLAdapter(VQAScoreModel):
+    video_mode = "direct"
+    allows_image = True
+    allows_video = True
+    supports_trace = True
+
+    def load_model(self):
+        spec = q.QWEN2_VL_MODELS[self.model_name]
+        self.config: q.Qwen2VLConfig = self.kwargs.get("config") or spec["config"]
+        self.fps_default = spec.get("fps", 8.0)
+        dtype = self.kwargs.get("dtype") or _default_dtype()
+        cfg = self.config
+
+        params = self.kwargs.get("params")
+        if params is None:
+            ckpt = self.kwargs.get("checkpoint")  # fine-tune override
+            if ckpt and spec["hf"] is not None:
+                params = self._load_from_hf(ckpt, cfg, dtype)
+            elif self.kwargs.get("init") == "random" or spec["hf"] is None:
+                params = q.init_qwen2vl(
+                    jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)
+            else:
+                params = self._load_from_hf(spec["hf"], cfg, dtype)
+        self.params = params
+
+        tok = self.kwargs.get("tokenizer")
+        if tok is None and spec["hf"] is not None:
+            try:
+                tok = load_hf_tokenizer(spec["hf"])
+            except Exception:
+                warnings.warn(f"tokenizer {spec['hf']} unavailable (offline?); "
+                              "using SimpleT5Tokenizer placeholder")
+        if tok is None:
+            tok = SimpleT5Tokenizer(self.config.text.vocab_size)
+        self.tokenizer = tok
+        self.eos_token_id = getattr(tok, "eos_token_id", None)
+
+        cfg_v = cfg.vision
+        self._vision_jit = jax.jit(
+            lambda p, patches, pos_hw, win_seg, full_seg, reverse:
+            q.vision_tower(p["vision"], cfg_v, patches, pos_hw, win_seg,
+                           full_seg, reverse))
+        self._score_jit = jax.jit(
+            lambda p, *a, temperature: q.splice_and_score(
+                p, cfg, *a, temperature=temperature),
+            static_argnames=("temperature",))
+        self._logits_jit = jax.jit(
+            lambda p, embeds, pos, mask: dec.forward(
+                p["decoder"], cfg.text, embeds, pos, mask)[0])
+
+    def _load_from_hf(self, repo, cfg, dtype):
+        try:
+            import torch
+            from transformers import Qwen2_5_VLForConditionalGeneration
+            hf = Qwen2_5_VLForConditionalGeneration.from_pretrained(
+                repo, cache_dir=self.cache_dir, torch_dtype=torch.float32)
+            return q.convert_qwen2vl(hf.state_dict(), cfg, dtype)
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot load {repo}: {e}. Pass init='random' or params= in "
+                "offline environments.") from e
+
+    # ------------------------------------------------------------------
+    # media -> vision features
+    # ------------------------------------------------------------------
+
+    def _encode_visual(self, path, fps=None):
+        """path/array -> (feats (T, D) jnp, grid_thw, is_video, spg_t)."""
+        cfg = self.config
+        fps = fps if fps is not None else self.fps_default
+        is_video = isinstance(path, str) and path.lower().endswith(VIDEO_EXTENSIONS)
+        if is_video:
+            frames, spg_t = self._load_video_frames(path, fps)
+            patches, grid = q.frames_to_patches(frames, cfg.vision)
+        else:
+            img = image_loader(path)
+            patches, _ = None, None
+            patches, grid = self._image_patches(img)
+            spg_t = 0.0
+        geom = q.vision_geometry(grid, cfg.vision)
+        s = patches.shape[0]
+        sb = _bucket(s, PATCH_BUCKETS)
+        pad = sb - s
+        patches_w = patches[geom["perm"]]
+        if pad:
+            patches_w = np.concatenate([patches_w, np.zeros((pad, patches.shape[1]), np.float32)])
+        pos_hw = np.concatenate([geom["pos_hw"], np.zeros((pad, 2), np.int32)]) if pad else geom["pos_hw"]
+        win_seg = np.concatenate([geom["win_seg"], np.full(pad, -1, np.int32)]) if pad else geom["win_seg"]
+        full_seg = np.concatenate([np.zeros(s, np.int32), np.full(pad, -1, np.int32)])
+        mu = cfg.vision.merge_unit
+        reverse = np.concatenate([geom["reverse"],
+                                  np.arange(s // mu, sb // mu, dtype=np.int32)])
+        feats = self._vision_jit(self.params, jnp.asarray(patches_w),
+                                 jnp.asarray(pos_hw), jnp.asarray(win_seg),
+                                 jnp.asarray(full_seg), jnp.asarray(reverse))
+        return feats[: s // mu], grid, is_video, spg_t
+
+    def _image_patches(self, img):
+        cfg = self.config.vision
+        # image path: qwen_vl_utils defaults (MIN 56*56, MAX 28*28*1280)
+        return q.image_to_patches(img, cfg)
+
+    def _load_video_frames(self, path, fps):
+        """fps-based sampling (qwen_vl_utils smart_nframes semantics) with
+        the reference's video max_pixels=360*420 cap (qwen2vl_model.py:142)."""
+        from PIL import Image
+        from ..media.video import _open_capture
+        from ..ops.image import smart_resize
+        from ..constants import CLIP_MEAN, CLIP_STD
+
+        cfg = self.config.vision
+        cap, cv2 = _open_capture(path)
+        try:
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            native = float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+            if fps == "dynamic":
+                fps = 2.0
+            n = total / native * float(fps)
+            n = max(4, min(768, total, int(round(n / 2) * 2)))  # FRAME_FACTOR=2
+            idx = np.round(np.linspace(0, max(total - 1, 0), n)).astype(np.int64)
+            frames = []
+            for i in idx:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+                ok, frame = cap.read()
+                if ok:
+                    frames.append(frame[:, :, ::-1])
+            h, w = frames[0].shape[:2]
+            hb, wb = smart_resize(h, w, cfg.patch_size * cfg.merge_size,
+                                  min_pixels=56 * 56, max_pixels=360 * 420)
+            out = np.stack([
+                np.asarray(Image.fromarray(f).resize((wb, hb), Image.BICUBIC))
+                for f in frames]).astype(np.float32) / 255.0
+            out = (out - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
+            sample_fps = len(frames) / max(total / native, 1e-6)
+            spg_t = cfg.temporal_patch_size / max(sample_fps, 1e-6)
+            return out.transpose(0, 3, 1, 2), spg_t
+        finally:
+            cap.release()
+
+    # ------------------------------------------------------------------
+    # prompts
+    # ------------------------------------------------------------------
+
+    def _encode_text(self, text):
+        return self.tokenizer.encode(text, add_special_tokens=False)
+
+    def _build_ids(self, question, n_vis, is_video):
+        cfg = self.config
+        pre = self._encode_text(_CHAT_PRE)
+        post = self._encode_text(_CHAT_POST.format(question=question))
+        vis_tok = cfg.video_token_id if is_video else cfg.image_token_id
+        return (pre + [cfg.vision_start_token_id] + [vis_tok] * n_vis
+                + [cfg.vision_end_token_id] + post)
+
+    def _prepare_pairs(self, visuals, questions, fps=None):
+        """visuals: list of paths (len P, may repeat); questions len P.
+
+        Returns host arrays for a batched scoring/prefill call plus the
+        per-pair prompt metadata.
+        """
+        cfg = self.config
+        uniq, inv = [], []
+        seen = {}
+        for v in visuals:
+            key = v if isinstance(v, (str, bytes)) else id(v)
+            if key not in seen:
+                seen[key] = len(uniq)
+                uniq.append(v)
+            inv.append(seen[key])
+        encoded = [self._encode_visual(v, fps) for v in uniq]
+
+        p = len(visuals)
+        ids_list, grids, spgs, vids = [], [], [], []
+        for j in range(p):
+            feats, grid, is_video, spg = encoded[inv[j]]
+            mu = cfg.vision.merge_unit
+            n_vis = int(np.prod(grid)) // mu
+            ids_list.append(self._build_ids(questions[j], n_vis, is_video))
+            grids.append(grid)
+            spgs.append(spg)
+            vids.append(is_video)
+
+        s = _bucket(max(len(x) for x in ids_list), SEQ_BUCKETS)
+        t_max = max(e[0].shape[0] for e in encoded)
+        d = encoded[0][0].shape[1]
+        ids = np.zeros((p, s), np.int64)
+        vis_mask = np.zeros((p, s), bool)
+        vis_slot = np.zeros((p, s), np.int64)
+        attn = np.zeros((p, s), bool)
+        pos = np.zeros((3, p, s), np.int64)
+        feats_arr = np.zeros((p, max(t_max, 1), d), np.float32)
+        prompt_lens = []
+        for j, toks in enumerate(ids_list):
+            n = len(toks)
+            arr = np.asarray(toks)
+            ids[j, :n] = arr
+            attn[j, :n] = True
+            vm = np.isin(arr, [cfg.image_token_id, cfg.video_token_id])
+            vis_mask[j, :n] = vm
+            vis_slot[j, :n][vm] = np.arange(vm.sum())
+            pos[:, j, :n] = q.build_rope_index(
+                arr, [grids[j]], cfg,
+                second_per_grid_ts=[spgs[j]] if vids[j] else None)
+            f = encoded[inv[j]][0]
+            feats_arr[j, : f.shape[0]] = np.asarray(f, np.float32)
+            prompt_lens.append(n)
+        return (ids, feats_arr, vis_mask, vis_slot, pos, attn), prompt_lens
+
+    # ------------------------------------------------------------------
+    # scoring
+    # ------------------------------------------------------------------
+
+    def forward(self, images, texts, fps=None,
+                question_template: str = DEFAULT_QWEN_QUESTION,
+                answer_template: str = DEFAULT_QWEN_ANSWER,
+                max_new_tokens: int = 1,
+                temperature: float = 1.0, debug: bool = False, **kw) -> np.ndarray:
+        assert len(images) == len(texts)
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        arrays, prompt_lens = self._prepare_pairs(images, questions, fps)
+        ids, feats, vis_mask, vis_slot, pos, attn = arrays
+
+        ans_tok = [self._encode_text(a) for a in answers]
+        a_max = max(len(a) for a in ans_tok)
+        pcount = len(images)
+        s = ids.shape[1]
+        full_ids = ids.copy()
+        ans_ids = np.zeros((pcount, a_max), np.int64)
+        ans_pos = np.zeros((pcount, a_max), np.int64)
+        ans_mask = np.zeros((pcount, a_max), np.float32)
+        for j, (a, n) in enumerate(zip(ans_tok, prompt_lens)):
+            if n + len(a) > s:
+                raise ValueError("sequence bucket overflow")
+            full_ids[j, n:n + len(a)] = a
+            attn[j, n:n + len(a)] = True
+            ans_ids[j, : len(a)] = a
+            ans_pos[j, : len(a)] = n - 1 + np.arange(len(a))
+            ans_mask[j, : len(a)] = 1.0
+            # answer tokens are plain text positions in the rope index
+            last = pos[:, j, n - 1].max()
+            for i in range(len(a)):
+                pos[:, j, n + i] = last + 1 + i
+
+        logp = self._score_jit(
+            self.params, jnp.asarray(full_ids), jnp.asarray(feats),
+            jnp.asarray(vis_mask), jnp.asarray(vis_slot), jnp.asarray(pos),
+            jnp.asarray(attn), jnp.asarray(ans_ids), jnp.asarray(ans_pos),
+            jnp.asarray(ans_mask), temperature=float(temperature))
+        return np.exp(np.asarray(logp, np.float32))
+
+    def score_matrix(self, images, texts, **kw) -> np.ndarray:
+        m, n = len(images), len(texts)
+        flat_imgs = [im for im in images for _ in range(n)]
+        flat_txts = list(texts) * m
+        return self.forward(flat_imgs, flat_txts, **kw).reshape(m, n)
+
+    # ------------------------------------------------------------------
+    # generation + trace
+    # ------------------------------------------------------------------
+
+    def _greedy_steps(self, ids_row, feats, vis_mask, vis_slot, pos_row,
+                      n_prompt, max_new_tokens, temperature=1.0):
+        """Greedy generation for one sequence; returns (gen_ids, prob_dists).
+
+        Each step re-runs the (jitted, bucketed) prefill — acceptable for the
+        1-few token scoring paths; KV-cache decode is the planned fast path.
+        """
+        cfg = self.config
+        gen, dists = [], []
+        ids = ids_row.copy()
+        pos = pos_row.copy()
+        s = ids.shape[0]
+        for step in range(max_new_tokens):
+            n = n_prompt + step
+            if n >= s:
+                break
+            tok = self.params["decoder"]["embed"][jnp.asarray(ids[None])]
+            vis = jnp.take_along_axis(jnp.asarray(feats[None]),
+                                      jnp.asarray(vis_slot[None])[..., None], axis=1)
+            embeds = jnp.where(jnp.asarray(vis_mask[None])[..., None],
+                               vis.astype(tok.dtype), tok)
+            mask = np.zeros((1, s), bool)
+            mask[0, :n] = True
+            logits = self._logits_jit(self.params, embeds,
+                                      jnp.asarray(pos[:, None, :]),
+                                      jnp.asarray(mask))
+            dist = jax.nn.softmax(logits[0, n - 1] / temperature)
+            dists.append(np.asarray(dist, np.float32))
+            nxt = int(np.argmax(dists[-1]))
+            gen.append(nxt)
+            if n < s:
+                ids[n] = nxt
+                last = pos[:, n - 1].max()
+                pos[:, n] = last + 1
+            if self.eos_token_id is not None and nxt == self.eos_token_id:
+                break
+        return gen, dists
+
+    def forward_with_trace(self, images, texts, fps=None,
+                           question_template: str = DEFAULT_QWEN_QUESTION,
+                           answer_template: str = DEFAULT_QWEN_ANSWER,
+                           max_new_tokens: int = 1, temperature: float = 1.0,
+                           score_position: str = "end", debug: bool = False):
+        """Reference trace contract (qwen2vl_model.py:303-493)."""
+        assert score_position in ("start", "end")
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        arrays, prompt_lens = self._prepare_pairs(images, questions, fps)
+        ids, feats, vis_mask, vis_slot, pos, attn = arrays
+
+        decode = getattr(self.tokenizer, "decode", lambda x: str(x))
+        lm_probs, traces = [], []
+        for j in range(len(images)):
+            gen, dists = self._greedy_steps(
+                ids[j], feats[j], vis_mask[j], vis_slot[j], pos[:, j],
+                prompt_lens[j], max_new_tokens, temperature)
+            ans = self._encode_text(answers[j])
+            n_ans = len(ans)
+            special = {self.eos_token_id}
+            if score_position == "start":
+                start, offset = 0, 0
+            else:
+                offset = 1 if (gen and gen[-1] in special) else 0
+                if offset:
+                    n_ans = min(n_ans, len(dists) - 1)
+                start = max(len(gen) - n_ans - offset, 0)
+            n_ans = min(n_ans, len(dists) - start)
+            ans = ans[:n_ans]
+
+            joint = 1.0
+            details = []
+            for i in range(n_ans):
+                dist = dists[start + i]
+                tid = ans[i]
+                prob = float(dist[tid])
+                joint *= prob
+                top = np.argsort(dist)[::-1][:5]
+                details.append({
+                    "position": start + i,
+                    "expected_token_id": tid,
+                    "expected_token_text": decode([tid]),
+                    "probability": prob,
+                    "top_alternatives": [
+                        {"token_id": int(t), "token_text": decode([int(t)]),
+                         "probability": float(dist[t])} for t in top],
+                })
+            gm = joint ** (1.0 / max(n_ans, 1))
+            lm_probs.append(gm)
+            traces.append({
+                "generated_text": decode(gen),
+                "generated_length": len(gen),
+                "score_position": score_position,
+                "score_start_idx": start,
+                "scored_indices": list(range(start, start + n_ans)),
+                "scored_tokens_text": decode(gen[start:start + n_ans]),
+                "probability": gm,
+                "token_details": details,
+            })
+        return np.asarray(lm_probs, np.float32), traces
+
+    def generate(self, images, texts, fps=None, max_new_tokens: int = 128,
+                 temperature: float = 0.0, do_sample=None, top_p: float = 0.9,
+                 **kw) -> list[str]:
+        """Free-form continuation (reference qwen2vl_model.py:495-563).
+        Greedy only in this build; sampling args accepted for API compat."""
+        assert len(images) == len(texts)
+        arrays, prompt_lens = self._prepare_pairs(images, list(texts), fps)
+        ids, feats, vis_mask, vis_slot, pos, attn = arrays
+        decode = getattr(self.tokenizer, "decode", lambda x: str(x))
+        outs = []
+        for j in range(len(images)):
+            gen, _ = self._greedy_steps(
+                ids[j], feats[j], vis_mask[j], vis_slot[j], pos[:, j],
+                prompt_lens[j], max_new_tokens)
+            if gen and self.eos_token_id is not None and gen[-1] == self.eos_token_id:
+                gen = gen[:-1]
+            outs.append(decode(gen).strip())
+        return outs
+
+    def load_images(self, images, fps=None):
+        return images

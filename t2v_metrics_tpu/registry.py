@@ -37,7 +37,7 @@ def _register_builtin():
         return QWEN2_VL_MODELS
 
     def qwen2vl_build(name, device, cache_dir, **kw):
-        from .models.qwen2vl import Qwen2VLAdapter
+        from .models.qwen2vl_adapter import Qwen2VLAdapter
         return Qwen2VLAdapter(name, device, cache_dir, **kw)
 
     _VQA_FAMILIES.append((qwen2vl_names, qwen2vl_build))

@@ -1,0 +1,99 @@
+"""Behavioral tests for the Qwen2.5-VL adapter (tiny random weights):
+image + video scoring, trace contract, matrix consistency, generate."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import t2v_metrics_tpu as t2v
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    rng = np.random.default_rng(0)
+    img_path = str(d / "img.png")
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)).save(img_path)
+
+    import cv2
+    vid_path = str(d / "vid.mp4")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    for _ in range(20):
+        vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    vw.release()
+    return img_path, vid_path
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    return t2v.VQAScore(model="qwen2.5-vl-test")
+
+
+def test_registry_exposure():
+    models = t2v.list_all_models()
+    assert "qwen2.5-vl-7b" in models
+    assert "qwen2.5-vl-72b" in models
+
+
+def test_image_scoring(scorer, media):
+    img, _ = media
+    s = scorer(images=[img], texts=["a photo of a cat"])
+    assert s.shape == (1, 1)
+    assert 0.0 <= s[0, 0] <= 1.0
+
+
+def test_video_scoring(scorer, media):
+    _, vid = media
+    s = scorer(images=[vid], texts=["a moving blob"])
+    assert s.shape == (1, 1)
+    assert 0.0 <= s[0, 0] <= 1.0
+
+
+def test_matrix_consistency(scorer, media):
+    img, _ = media
+    full = scorer(images=[img, img], texts=["cat", "dog"])
+    single = scorer(images=[img], texts=["dog"])
+    np.testing.assert_allclose(full[0, 1], single[0, 0], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(full[0], full[1], rtol=1e-5)  # same image rows
+
+
+def test_trace_contract(scorer, media):
+    img, _ = media
+    scores, traces = scorer.model.forward_with_trace(
+        [img], ["a cat"], score_position="start")
+    assert scores.shape == (1,)
+    tr = traces[0]
+    for key in ("generated_text", "generated_length", "score_position",
+                "score_start_idx", "scored_indices", "scored_tokens_text",
+                "probability", "token_details"):
+        assert key in tr
+    assert tr["score_position"] == "start"
+    det = tr["token_details"][0]
+    assert len(det["top_alternatives"]) == 5
+    probs = [a["probability"] for a in det["top_alternatives"]]
+    assert probs == sorted(probs, reverse=True)
+    np.testing.assert_allclose(tr["probability"], scores[0], rtol=1e-5)
+
+
+def test_trace_end_position(scorer, media):
+    img, _ = media
+    scores, traces = scorer.model.forward_with_trace(
+        [img], ["a cat"], score_position="end", max_new_tokens=3)
+    assert traces[0]["generated_length"] >= 1
+
+
+def test_generate(scorer, media):
+    img, _ = media
+    outs = scorer.model.generate([img], ["describe"], max_new_tokens=4)
+    assert len(outs) == 1
+    assert isinstance(outs[0], str)
+
+
+def test_forward_start_trace_matches_forward(scorer, media):
+    """score from forward() == trace probability with score_position=start
+    and 1-token answer."""
+    img, _ = media
+    s = scorer.model.forward([img], ["a cat"])
+    _, traces = scorer.model.forward_with_trace([img], ["a cat"],
+                                                score_position="start")
+    np.testing.assert_allclose(s[0], traces[0]["probability"], rtol=1e-4)
