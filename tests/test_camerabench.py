@@ -107,10 +107,13 @@ class TestCaptionMetrics:
         assert ce.spice_like(c, r) == 0.0
 
     def test_cider_ranks_match_higher(self):
+        # distinct reference docs so idf > 0 (idf is 0 for n-grams present
+        # in every reference set — standard CIDEr behavior)
         cands = ["camera pans left", "dog eats food"]
-        refs = [["camera pans left slowly"], ["camera pans left slowly"]]
+        refs = [["camera pans left slowly"], ["a bird flies over water"]]
         scores = ce.cider(cands, refs)
         assert scores[0] > scores[1]
+        assert scores[0] > 0
 
     def test_evaluate_captions(self):
         entries = [
