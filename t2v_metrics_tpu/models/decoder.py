@@ -44,20 +44,35 @@ class DecoderConfig:
     mrope_section: tuple | None = (16, 24, 24)  # None -> standard 1D RoPE
     qkv_bias: bool = True
     tie_embeddings: bool = False
+    # --- Gemma3-style options -------------------------------------------
+    qk_norm: bool = False            # per-head RMSNorm on q/k
+    q_scale: float | None = None     # attention scale override
+    sandwich_norms: bool = False     # post-attn + pre/post-ffw norms
+    rms_offset: float = 0.0          # 1.0 -> Gemma (1 + w) convention
+    rms_cast_weight: bool = True     # False -> multiply in fp32 (Gemma)
+    sliding_window: int | None = None
+    layer_types: tuple | None = None  # per-layer 'sliding_attention'/'full_attention'
+    local_rope_theta: float | None = None  # rope theta for sliding layers
+    rope_scaling_factor: float | None = None  # linear scaling, global layers
 
 
 # ---------------------------------------------------------------------------
 # RoPE
 # ---------------------------------------------------------------------------
 
-def rope_cos_sin(cfg: DecoderConfig, position_ids: jnp.ndarray):
+def rope_cos_sin(cfg: DecoderConfig, position_ids: jnp.ndarray,
+                 theta: float | None = None, scaling: float | None = None):
     """position_ids: (B, S) or (3, B, S) for M-RoPE.
 
     Returns cos/sin of shape (B, S, head_dim) with M-RoPE sections already
-    merged (so downstream application is uniform).
+    merged (so downstream application is uniform). ``scaling`` divides the
+    inverse frequencies (HF linear rope scaling).
     """
     half = cfg.head_dim // 2
-    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    theta = theta if theta is not None else cfg.rope_theta
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    if scaling:
+        inv_freq = inv_freq / scaling
     if position_ids.ndim == 2:
         pos = position_ids[None].astype(jnp.float32)  # (1, B, S)
     else:
@@ -96,7 +111,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
-          cache_pos=None):
+          cache_pos=None, local_window=None, bidir_ids=None):
     b, s, _ = x.shape
     q = L.linear(x, p["q"]["w"], p["q"].get("b"))
     k = L.linear(x, p["k"]["w"], p["k"].get("b"))
@@ -104,6 +119,13 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
     q = q.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    if cfg.qk_norm:
+        q = L.rms_norm(q, p["q_norm"]["scale"], cfg.rms_eps,
+                       offset=cfg.rms_offset,
+                       cast_weight_dtype=cfg.rms_cast_weight)
+        k = L.rms_norm(k, p["k_norm"]["scale"], cfg.rms_eps,
+                       offset=cfg.rms_offset,
+                       cast_weight_dtype=cfg.rms_cast_weight)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -121,12 +143,15 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
     k_rep = jnp.repeat(k_full, rep, axis=1)
     v_rep = jnp.repeat(v_full, rep, axis=1)
 
+    scale = cfg.q_scale if cfg.q_scale is not None else None
     if cache_layer is not None:
         # decoding: q len is small; mask must cover cache length
         out = attention(q, k_rep, v_rep, kv_mask=mask, causal=False,
-                        impl="reference")
+                        impl="reference", scale=scale)
     else:
-        out = attention(q, k_rep, v_rep, kv_mask=mask, causal=True)
+        out = attention(q, k_rep, v_rep, kv_mask=mask, causal=True,
+                        scale=scale, local_window=local_window,
+                        bidir_ids=bidir_ids)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * cfg.head_dim)
     return L.linear(out, p["o"]["w"], p["o"].get("b")), new_cache
 
@@ -138,25 +163,49 @@ def _mlp(p, cfg: DecoderConfig, x):
 
 def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
             position_ids: jnp.ndarray, attn_mask: jnp.ndarray | None = None,
-            cache=None, cache_pos=None):
+            cache=None, cache_pos=None, bidir_ids=None):
     """embeds: (B, S, D). Returns (logits fp32, new_cache).
 
     Without cache: full causal self-attention (teacher-forced scoring).
     With cache: appends this chunk's k/v at cache_pos; attn_mask must be the
     (B, max_len) validity mask of the cache after insertion.
+    bidir_ids: optional (B, S) image-block overlay (Gemma3), see
+    ops.attention.
     """
-    cos, sin = rope_cos_sin(cfg, position_ids)
+
+    def _norm(x, p):
+        return L.rms_norm(x, p["scale"], cfg.rms_eps, offset=cfg.rms_offset,
+                          cast_weight_dtype=cfg.rms_cast_weight)
+
+    cos_g, sin_g = rope_cos_sin(cfg, position_ids,
+                                scaling=cfg.rope_scaling_factor)
+    if cfg.local_rope_theta is not None:
+        cos_l, sin_l = rope_cos_sin(cfg, position_ids,
+                                    theta=cfg.local_rope_theta)
+    else:
+        cos_l, sin_l = cos_g, sin_g
+
     x = embeds
     new_cache = []
     for i, blk in enumerate(params["blocks"]):
-        h = L.rms_norm(x, blk["ln1"]["scale"], cfg.rms_eps)
+        sliding = (cfg.layer_types is not None
+                   and cfg.layer_types[i % len(cfg.layer_types)] == "sliding_attention")
+        cos, sin = (cos_l, sin_l) if sliding else (cos_g, sin_g)
+        window = cfg.sliding_window if sliding else None
+        h = _norm(x, blk["ln1"])
         a, nc = _attn(blk["attn"], cfg, h, cos, sin, attn_mask,
-                      None if cache is None else cache[i], cache_pos)
+                      None if cache is None else cache[i], cache_pos,
+                      local_window=window, bidir_ids=bidir_ids)
+        if cfg.sandwich_norms:
+            a = _norm(a, blk["ln1_post"])
         x = x + a
-        h = L.rms_norm(x, blk["ln2"]["scale"], cfg.rms_eps)
-        x = x + _mlp(blk["mlp"], cfg, h)
+        h = _norm(x, blk["ln_ff_pre"] if cfg.sandwich_norms else blk["ln2"])
+        m = _mlp(blk["mlp"], cfg, h)
+        if cfg.sandwich_norms:
+            m = _norm(m, blk["ln_ff_post"])
+        x = x + m
         new_cache.append(nc)
-    x = L.rms_norm(x, params["ln_final"]["scale"], cfg.rms_eps)
+    x = _norm(x, params["ln_final"])
     if cfg.tie_embeddings:
         logits = x @ params["embed"].T
     else:

@@ -1,0 +1,298 @@
+"""Gemma3 and PaliGemma scoring adapters.
+
+Gemma3 (reference gemma3_model.py): videos -> num_frames=10 evenly-spaced
+frames with interleaved "Frame at {t}s:" text (:72-128); teacher-forced
+P(answer) scoring. PaliGemma (reference paligemma_model.py): image-only
+(video_mode="concat"); score = P(first answer token) at the first generated
+step (:106-113); prefix-LM bidirectional attention over image+prompt.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import VIDEO_EXTENSIONS, SIGLIP_MEAN, SIGLIP_STD
+from ..media.images import image_loader
+from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
+from .adapters import VQAScoreModel, _default_dtype
+from . import gemma3 as g3
+from . import paligemma as pg
+
+DEFAULT_QUESTION = 'Does this figure show "{}"? Please answer Yes or No.'
+DEFAULT_ANSWER = "Yes"
+
+SEQ_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket(n, buckets=SEQ_BUCKETS):
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+def _siglip_preprocess(img: np.ndarray, size: int) -> np.ndarray:
+    from PIL import Image
+
+    out = np.asarray(Image.fromarray(img).resize((size, size), Image.BICUBIC))
+    out = out.astype(np.float32) / 255.0
+    return (out - np.asarray(SIGLIP_MEAN, np.float32)) / np.asarray(SIGLIP_STD, np.float32)
+
+
+class _GemmaBase(VQAScoreModel):
+    """Shared machinery: tokenizer fallback, vision jit, frame extraction."""
+
+    def _setup_tokenizer(self, hf_repo, vocab_size):
+        tok = self.kwargs.get("tokenizer")
+        if tok is None and hf_repo is not None:
+            try:
+                tok = load_hf_tokenizer(hf_repo)
+            except Exception:
+                warnings.warn(f"tokenizer {hf_repo} unavailable (offline?); "
+                              "using SimpleT5Tokenizer placeholder")
+        if tok is None:
+            tok = SimpleT5Tokenizer(vocab_size)
+        self.tokenizer = tok
+
+    def _encode_text(self, text):
+        return self.tokenizer.encode(text, add_special_tokens=False)
+
+    def _extract_frames(self, video_path, num_frames=10):
+        """(timestamp, rgb frame) pairs, linspace indices
+        (reference gemma3_model.py:72-94)."""
+        import cv2
+
+        cap = cv2.VideoCapture(str(video_path))
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        idx = np.linspace(0, total - 1, num_frames, dtype=int)
+        frames = []
+        for i in idx:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, frame = cap.read()
+            if ok:
+                frames.append((round(i / fps, 2), frame[:, :, ::-1].copy()))
+        cap.release()
+        return frames
+
+
+class Gemma3Adapter(_GemmaBase):
+    video_mode = "direct"
+    allows_image = True
+    allows_video = True
+
+    def load_model(self):
+        spec = g3.GEMMA3_MODELS[self.model_name]
+        self.config: g3.Gemma3Config = self.kwargs.get("config") or spec["config"]
+        dtype = self.kwargs.get("dtype") or _default_dtype()
+        cfg = self.config
+
+        params = self.kwargs.get("params")
+        if params is None:
+            if self.kwargs.get("init") == "random" or spec["hf"] is None:
+                params = g3.init_gemma3(
+                    jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)
+            else:
+                params = self._load_from_hf(spec["hf"], cfg, dtype)
+        self.params = params
+        self._setup_tokenizer(spec["hf"], cfg.text.vocab_size)
+
+        self._vision_jit = jax.jit(
+            lambda p, px: g3.image_features(p, cfg, px))
+        self._score_jit = jax.jit(
+            lambda p, *a, temperature: g3.splice_and_score(
+                p, cfg, *a, temperature=temperature),
+            static_argnames=("temperature",))
+
+    def _load_from_hf(self, repo, cfg, dtype):
+        try:
+            import torch
+            from transformers import Gemma3ForConditionalGeneration
+            hf = Gemma3ForConditionalGeneration.from_pretrained(
+                repo, cache_dir=self.cache_dir, torch_dtype=torch.float32)
+            return g3.convert_gemma3(hf.state_dict(), cfg, dtype)
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot load {repo}: {e}. Pass init='random' in offline "
+                "environments.") from e
+
+    def load_images(self, images, num_frames: int = 10):
+        return images
+
+    def _image_block_ids(self):
+        cfg = self.config
+        return ([cfg.boi_token_id]
+                + [cfg.image_token_id] * cfg.mm_tokens_per_image
+                + [cfg.eoi_token_id])
+
+    def forward(self, images, texts, num_frames: int = 10,
+                question_template: str = DEFAULT_QUESTION,
+                answer_template: str = DEFAULT_ANSWER,
+                temperature: float = 1.0, **kw) -> np.ndarray:
+        assert len(images) == len(texts)
+        cfg = self.config
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+
+        per_pair = []
+        for path, question, answer in zip(images, questions, answers):
+            pixels, ids = [], []
+            ids += self._encode_text("<start_of_turn>user\n")
+            is_video = isinstance(path, str) and path.lower().endswith(VIDEO_EXTENSIONS)
+            if is_video:
+                for ts, frame in self._extract_frames(path, num_frames):
+                    ids += self._encode_text(f"Frame at {ts}s:")
+                    ids += self._image_block_ids()
+                    pixels.append(_siglip_preprocess(frame, cfg.vision.image_size))
+            else:
+                ids += self._image_block_ids()
+                pixels.append(_siglip_preprocess(image_loader(path),
+                                                 cfg.vision.image_size))
+            ids += self._encode_text(question + "<end_of_turn>\n"
+                                     "<start_of_turn>model\n")
+            ans = self._encode_text(answer)
+            per_pair.append((ids, ans, np.stack(pixels)))
+
+        p = len(per_pair)
+        s = _bucket(max(len(i) + len(a) for i, a, _ in per_pair))
+        a_max = max(len(a) for _, a, _ in per_pair)
+        t_tok = cfg.mm_tokens_per_image
+        t_max = max(px.shape[0] for _, _, px in per_pair) * t_tok
+
+        ids_arr = np.zeros((p, s), np.int64)
+        vis_mask = np.zeros((p, s), bool)
+        vis_slot = np.zeros((p, s), np.int64)
+        attn = np.zeros((p, s), bool)
+        ans_ids = np.zeros((p, a_max), np.int64)
+        ans_pos = np.zeros((p, a_max), np.int64)
+        ans_mask = np.zeros((p, a_max), np.float32)
+        feats = np.zeros((p, max(t_max, 1), cfg.text.d_model), np.float32)
+
+        for j, (ids, ans, px) in enumerate(per_pair):
+            f = self._vision_jit(self.params, jnp.asarray(px))  # (F, T, D)
+            f = np.asarray(f, np.float32).reshape(-1, cfg.text.d_model)
+            feats[j, : f.shape[0]] = f
+            n = len(ids)
+            ids_arr[j, :n] = ids
+            ids_arr[j, n:n + len(ans)] = ans
+            attn[j, :n + len(ans)] = True
+            vm = ids_arr[j] == cfg.image_token_id
+            vm[n:] = False
+            vis_mask[j] = vm
+            vis_slot[j][vm] = np.arange(vm.sum())
+            ans_ids[j, : len(ans)] = ans
+            ans_pos[j, : len(ans)] = n - 1 + np.arange(len(ans))
+            ans_mask[j, : len(ans)] = 1.0
+
+        pos = np.broadcast_to(np.arange(s)[None], (p, s)).copy()
+        logp = self._score_jit(
+            self.params, jnp.asarray(ids_arr), jnp.asarray(feats),
+            jnp.asarray(vis_mask), jnp.asarray(vis_slot), jnp.asarray(pos),
+            jnp.asarray(attn), jnp.asarray(ans_ids), jnp.asarray(ans_pos),
+            jnp.asarray(ans_mask), temperature=float(temperature))
+        return np.exp(np.asarray(logp, np.float32))
+
+    def score_matrix(self, images, texts, **kw) -> np.ndarray:
+        m, n = len(images), len(texts)
+        flat_imgs = [im for im in images for _ in range(n)]
+        return self.forward(flat_imgs, list(texts) * m, **kw).reshape(m, n)
+
+
+class PaliGemmaAdapter(_GemmaBase):
+    video_mode = "concat"
+    allows_image = True
+    allows_video = False
+
+    def load_model(self):
+        spec = pg.PALIGEMMA_MODELS[self.model_name]
+        self.config: pg.PaliGemmaConfig = self.kwargs.get("config") or spec["config"]
+        dtype = self.kwargs.get("dtype") or _default_dtype()
+        cfg = self.config
+
+        params = self.kwargs.get("params")
+        if params is None:
+            if self.kwargs.get("init") == "random" or spec["hf"] is None:
+                params = pg.init_paligemma(
+                    jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)
+            else:
+                params = self._load_from_hf(spec["hf"], cfg, dtype)
+        self.params = params
+        self._setup_tokenizer(spec["hf"], cfg.text.vocab_size)
+
+        self._vision_jit = jax.jit(lambda p, px: pg.image_features(p, cfg, px))
+        self._dist_jit = jax.jit(
+            lambda p, *a: pg.first_token_distribution(p, cfg, *a))
+
+    def _load_from_hf(self, repo, cfg, dtype):
+        try:
+            import torch
+            from transformers import PaliGemmaForConditionalGeneration
+            hf = PaliGemmaForConditionalGeneration.from_pretrained(
+                repo, cache_dir=self.cache_dir, torch_dtype=torch.float32)
+            return pg.convert_paligemma(hf.state_dict(), cfg, dtype)
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot load {repo}: {e}. Pass init='random' in offline "
+                "environments.") from e
+
+    def load_images(self, images):
+        return images
+
+    def _first_answer_token(self, answer: str) -> int:
+        ids = self._encode_text(answer)
+        # reference uses tokenizer.encode(answer)[0]; the Gemma tokenizer
+        # prepends BOS there — we take the first content token
+        return ids[0]
+
+    def forward(self, images, texts,
+                question_template: str = DEFAULT_QUESTION,
+                answer_template: str = DEFAULT_ANSWER, **kw) -> np.ndarray:
+        assert len(images) == len(texts)
+        cfg = self.config
+        n_vis = cfg.num_image_tokens
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+
+        per_pair = []
+        for path, question in zip(images, questions):
+            px = _siglip_preprocess(image_loader(path), cfg.vision.image_size)
+            ids = ([cfg.image_token_id] * n_vis + [cfg.bos_token_id]
+                   + self._encode_text(question + "\n"))
+            per_pair.append((ids, px))
+
+        p = len(per_pair)
+        s = _bucket(max(len(i) for i, _ in per_pair))
+        ids_arr = np.zeros((p, s), np.int64)
+        attn = np.zeros((p, s), bool)
+        vis_mask = np.zeros((p, s), bool)
+        vis_slot = np.zeros((p, s), np.int64)
+        prefix = np.zeros((p, s), bool)
+        logit_pos = np.zeros((p,), np.int64)
+        pixels = np.stack([px for _, px in per_pair])
+        for j, (ids, _) in enumerate(per_pair):
+            n = len(ids)
+            ids_arr[j, :n] = ids
+            attn[j, :n] = True
+            prefix[j, :n] = True
+            vis_mask[j, :n_vis] = True
+            vis_slot[j, :n_vis] = np.arange(n_vis)
+            logit_pos[j] = n - 1
+
+        feats = self._vision_jit(self.params, jnp.asarray(pixels))
+        pos = np.broadcast_to(np.arange(s)[None], (p, s)).copy()
+        dist = self._dist_jit(self.params, jnp.asarray(ids_arr), feats,
+                              jnp.asarray(vis_mask), jnp.asarray(vis_slot),
+                              jnp.asarray(pos), jnp.asarray(attn),
+                              jnp.asarray(prefix), jnp.asarray(logit_pos))
+        dist = np.asarray(dist, np.float32)
+        return np.asarray([dist[j, self._first_answer_token(a)]
+                           for j, a in enumerate(answers)], np.float32)
+
+    def score_matrix(self, images, texts, **kw) -> np.ndarray:
+        m, n = len(images), len(texts)
+        flat_imgs = [im for im in images for _ in range(n)]
+        return self.forward(flat_imgs, list(texts) * m, **kw).reshape(m, n)

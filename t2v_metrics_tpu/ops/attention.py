@@ -37,7 +37,8 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
-                        scale=None, segment_ids=None):
+                        scale=None, segment_ids=None, local_window=None,
+                        bidir_ids=None):
     """Softmax attention with fp32 softmax.
 
     q: (B, H, Sq, D); k, v: (B, H, Sk, D)
@@ -46,6 +47,11 @@ def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
     segment_ids: (B, S) int; position i may only attend j when
       segment_ids[i] == segment_ids[j] (requires Sq == Sk). Used for
       block-diagonal window attention (Qwen ViT) and packed sequences.
+    local_window: sliding-window size W (with causal=True): position i
+      attends [i-W+1, i] (Gemma3 local layers).
+    bidir_ids: (B, S) int, -1 outside blocks; positions sharing a
+      non-negative id attend each other bidirectionally ON TOP of the
+      causal mask (Gemma3 image-token blocks). Requires Sq == Sk.
     """
     d = q.shape[-1]
     if scale is None:
@@ -59,13 +65,24 @@ def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
     if segment_ids is not None:
         same = segment_ids[:, :, None] == segment_ids[:, None, :]
         s = jnp.where(same[:, None], s, NEG_INF)
-    if causal:
+    if causal or local_window is not None:
         sq, sk = s.shape[-2], s.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
         # Align the causal diagonal to the *end* of the kv sequence so that
         # q position i attends kv positions <= i + (sk - sq).
-        s = jnp.where((col - (sk - sq) <= row)[None, None], s, NEG_INF)
+        keep = col - (sk - sq) <= row
+        if local_window is not None:
+            keep = keep & (col - (sk - sq) > row - local_window)
+        keep = jnp.broadcast_to(keep[None, None], s.shape)
+        if bidir_ids is not None:
+            same = ((bidir_ids[:, :, None] == bidir_ids[:, None, :])
+                    & (bidir_ids[:, :, None] >= 0))
+            if local_window is not None:
+                dist = jnp.abs(jnp.arange(sq)[:, None] - jnp.arange(sk)[None, :])
+                same = same & (dist < local_window)[None]
+            keep = keep | same[:, None]
+        s = jnp.where(keep, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
@@ -77,7 +94,7 @@ def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
                   o_ref, m_scr, l_scr, acc_scr, *, scale, causal, sq, sk,
-                  block_q, block_k):
+                  block_q, block_k, local_window=None):
     kb = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -107,8 +124,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
         s = jnp.where(same, s, neg)
     # Mask out padding beyond true lengths.
     s = jnp.where(col < sk, s, neg)
-    if causal:
-        s = jnp.where(col - (sk - sq) <= row, s, neg)
+    if causal or local_window is not None:
+        keep = col - (sk - sq) <= row
+        if local_window is not None:
+            keep = keep & (col - (sk - sq) > row - local_window)
+        s = jnp.where(keep, s, neg)
 
     m_prev = m_scr[:, :1]                              # (block_q, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)          # (block_q, 1)
@@ -140,10 +160,11 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"))
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret",
+                     "local_window"))
 def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
                     scale=None, block_q=128, block_k=128, interpret=False,
-                    segment_ids=None):
+                    segment_ids=None, local_window=None):
     """Flash attention via Pallas. Same contract as `attention_reference`."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -222,7 +243,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
                       segk_ref, o_ref, m_scr, l_scr, acc_scr, scale=scale,
                       causal=causal, sq=sq, sk=sk, block_q=block_q,
-                      block_k=block_k)
+                      block_k=block_k, local_window=local_window)
 
     out = pl.pallas_call(
         kernel,
@@ -251,7 +272,8 @@ def _on_tpu() -> bool:
 
 
 def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
-              impl: str = "auto", segment_ids=None):
+              impl: str = "auto", segment_ids=None, local_window=None,
+              bidir_ids=None):
     """Dispatching attention op.
 
     impl: 'auto' (flash on TPU, reference elsewhere), 'flash', 'reference'.
@@ -260,10 +282,19 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
         # Flash pays off for longer sequences; tiny shapes keep XLA fusion.
         impl = "flash" if (_on_tpu() and q.shape[-2] * k.shape[-2] > 128 * 128
                            and pltpu is not None) else "reference"
+    if bidir_ids is not None:
+        # bidirectional overlays run on the XLA path (flash support planned)
+        return attention_reference(q, k, v, bias=bias, kv_mask=kv_mask,
+                                   causal=causal, scale=scale,
+                                   segment_ids=segment_ids,
+                                   local_window=local_window,
+                                   bidir_ids=bidir_ids)
     if impl == "flash":
         return flash_attention(q, k, v, bias=bias, kv_mask=kv_mask,
                                causal=causal, scale=scale,
-                               segment_ids=segment_ids)
+                               segment_ids=segment_ids,
+                               local_window=local_window)
     return attention_reference(q, k, v, bias=bias, kv_mask=kv_mask,
                                causal=causal, scale=scale,
-                               segment_ids=segment_ids)
+                               segment_ids=segment_ids,
+                               local_window=local_window)

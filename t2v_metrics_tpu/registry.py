@@ -42,6 +42,26 @@ def _register_builtin():
 
     _VQA_FAMILIES.append((qwen2vl_names, qwen2vl_build))
 
+    def gemma3_names():
+        from .models.gemma3 import GEMMA3_MODELS
+        return GEMMA3_MODELS
+
+    def gemma3_build(name, device, cache_dir, **kw):
+        from .models.gemma_adapters import Gemma3Adapter
+        return Gemma3Adapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((gemma3_names, gemma3_build))
+
+    def paligemma_names():
+        from .models.paligemma import PALIGEMMA_MODELS
+        return PALIGEMMA_MODELS
+
+    def paligemma_build(name, device, cache_dir, **kw):
+        from .models.gemma_adapters import PaliGemmaAdapter
+        return PaliGemmaAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((paligemma_names, paligemma_build))
+
     def gpt4v_names():
         from .remote.gpt4v import GPT4V_MODELS
         return GPT4V_MODELS
