@@ -42,6 +42,7 @@ class DecoderConfig:
     rms_eps: float = 1e-6
     rope_theta: float = 1000000.0
     mrope_section: tuple | None = (16, 24, 24)  # None -> standard 1D RoPE
+    mrope_interleaved: bool = False  # Qwen3-VL interleaved THTHW... layout
     qkv_bias: bool = True
     tie_embeddings: bool = False
     # --- Gemma3-style options -------------------------------------------
@@ -78,19 +79,31 @@ def rope_cos_sin(cfg: DecoderConfig, position_ids: jnp.ndarray,
     else:
         pos = position_ids.astype(jnp.float32)        # (3, B, S)
     freqs = pos[..., None] * inv_freq                 # (streams, B, S, half)
+    if position_ids.ndim == 3 and cfg.mrope_section is not None:
+        if cfg.mrope_interleaved:
+            # Qwen3-VL: overwrite T-stream freqs with H at indices
+            # 1,4,7,..(<3*sec_h) and W at 2,5,8,..(<3*sec_w)
+            out = freqs[0]
+            for dim, offset in ((1, 1), (2, 2)):
+                length = cfg.mrope_section[dim] * 3
+                idx = jnp.arange(offset, length, 3)
+                # index in two steps: mixing an int with an array index
+                # would trigger numpy's front-moved advanced indexing
+                out = out.at[..., idx].set(freqs[dim][..., idx])
+            freqs = out[None]
+        else:
+            # Qwen2.5-VL: section i of the x2-tiled list from stream i%3
+            # (applied on the duplicated emb below, so tile here over half)
+            sections = list(cfg.mrope_section)
+            parts = []
+            start = 0
+            for i, sec in enumerate(sections):
+                parts.append(freqs[i % 3, :, :, start:start + sec])
+                start += sec
+            freqs = jnp.concatenate(parts, axis=-1)[None]
     emb = jnp.concatenate([freqs, freqs], axis=-1)    # (streams, B, S, dim)
     cos, sin = jnp.cos(emb), jnp.sin(emb)
-    if position_ids.ndim == 2 or cfg.mrope_section is None:
-        return cos[0], sin[0]
-    # M-RoPE: section i (of the x2-tiled mrope_section) comes from stream i%3.
-    sections = list(cfg.mrope_section) * 2
-    out_cos, out_sin = [], []
-    start = 0
-    for i, sec in enumerate(sections):
-        out_cos.append(cos[i % 3, :, :, start:start + sec])
-        out_sin.append(sin[i % 3, :, :, start:start + sec])
-        start += sec
-    return (jnp.concatenate(out_cos, axis=-1), jnp.concatenate(out_sin, axis=-1))
+    return cos[0], sin[0]
 
 
 def _rotate_half(x):
@@ -163,7 +176,7 @@ def _mlp(p, cfg: DecoderConfig, x):
 
 def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
             position_ids: jnp.ndarray, attn_mask: jnp.ndarray | None = None,
-            cache=None, cache_pos=None, bidir_ids=None):
+            cache=None, cache_pos=None, bidir_ids=None, deepstack=None):
     """embeds: (B, S, D). Returns (logits fp32, new_cache).
 
     Without cache: full causal self-attention (teacher-forced scoring).
@@ -171,6 +184,9 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
     (B, max_len) validity mask of the cache after insertion.
     bidir_ids: optional (B, S) image-block overlay (Gemma3), see
     ops.attention.
+    deepstack: optional list of (B, S, D) residuals added to the hidden
+    state after layers 0..len-1 (Qwen3-VL deepstack visual features,
+    already scattered to visual positions, zero elsewhere).
     """
 
     def _norm(x, p):
@@ -204,6 +220,8 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
         if cfg.sandwich_norms:
             m = _norm(m, blk["ln_ff_post"])
         x = x + m
+        if deepstack is not None and i < len(deepstack):
+            x = x + deepstack[i].astype(x.dtype)
         new_cache.append(nc)
     x = _norm(x, params["ln_final"])
     if cfg.tie_embeddings:

@@ -42,6 +42,16 @@ def _register_builtin():
 
     _VQA_FAMILIES.append((qwen2vl_names, qwen2vl_build))
 
+    def qwen3vl_names():
+        from .models.qwen3vl import QWEN3_VL_MODELS
+        return QWEN3_VL_MODELS
+
+    def qwen3vl_build(name, device, cache_dir, **kw):
+        from .models.qwen3vl_adapter import Qwen3VLAdapter
+        return Qwen3VLAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((qwen3vl_names, qwen3vl_build))
+
     def gemma3_names():
         from .models.gemma3 import GEMMA3_MODELS
         return GEMMA3_MODELS
