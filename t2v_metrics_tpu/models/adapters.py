@@ -209,6 +209,20 @@ CLIP_SCORE_MODELS = {
 }
 
 
+def resolve_clipscore_name(name: str):
+    """Accept any ``pretrain_tag:Arch`` OpenCLIP-style name whose Arch is a
+    known architecture (reference: CLIPScore names any OpenCLIP checkpoint,
+    V_3.0_README.md:66-75)."""
+    if name in CLIP_SCORE_MODELS:
+        return CLIP_SCORE_MODELS[name]
+    if ":" in name:
+        tag, arch = name.split(":", 1)
+        if arch in jclip.CLIP_ARCHS:
+            return {"arch": arch, "hf_repo": None if tag != "openai" else
+                    CLIP_SCORE_MODELS.get(f"openai:{arch}", {}).get("hf_repo")}
+    return None
+
+
 class CLIPScoreAdapter(ScoreModel):
     """CLIPScore = cosine similarity of CLIP image/text embeddings
     (reference CLIPScore family, V_3.0_README.md:66-75). BASELINE config 1."""
@@ -216,7 +230,9 @@ class CLIPScoreAdapter(ScoreModel):
     video_mode = "concat"
 
     def load_model(self):
-        spec = CLIP_SCORE_MODELS[self.model_name]
+        spec = resolve_clipscore_name(self.model_name)
+        if spec is None:
+            raise ValueError(f"unknown CLIPScore model {self.model_name!r}")
         if spec["arch"]:
             vcfg, tcfg = jclip.CLIP_ARCHS[spec["arch"]]
         else:

@@ -153,6 +153,10 @@ def get_clipscore_model(model_name: str, device: str = "tpu",
     for names_fn, build_fn in _CLIP_FAMILIES:
         if model_name in names_fn():
             return build_fn(model_name, device, cache_dir, **kwargs)
+    # any "pretrain_tag:Arch" OpenCLIP-style name with a known architecture
+    from .models.adapters import resolve_clipscore_name, CLIPScoreAdapter
+    if resolve_clipscore_name(model_name) is not None:
+        return CLIPScoreAdapter(model_name, device, cache_dir, **kwargs)
     raise ValueError(f"unknown CLIPScore model {model_name!r}; "
                      f"available: {list_all_clipscore_models()}")
 

@@ -29,10 +29,13 @@ class Score:
 
     def __init__(self, model: str, device: str = "tpu",
                  cache_dir: str | None = None, **kwargs):
-        assert model in self.list_all_models(), \
+        assert model in self.list_all_models() or self._accepts_dynamic(model), \
             f"model {model!r} not found; available: {self.list_all_models()}"
         self.device = device
         self.model = self.prepare_scoremodel(model, device, cache_dir, **kwargs)
+
+    def _accepts_dynamic(self, model: str) -> bool:
+        return False
 
     def prepare_scoremodel(self, model, device, cache_dir, **kwargs):
         raise NotImplementedError
@@ -112,6 +115,11 @@ class CLIPScore(Score):
     def prepare_scoremodel(self, model, device, cache_dir, **kwargs):
         from .registry import get_clipscore_model
         return get_clipscore_model(model, device, cache_dir, **kwargs)
+
+    def _accepts_dynamic(self, model: str) -> bool:
+        # any OpenCLIP-style "pretrain_tag:Arch" with a known architecture
+        from .models.adapters import resolve_clipscore_name
+        return resolve_clipscore_name(model) is not None
 
     def list_all_models(self) -> list[str]:
         from .registry import list_all_clipscore_models
