@@ -89,8 +89,24 @@ def clip_preprocess(img: np.ndarray, size: int, mean=CLIP_MEAN, std=CLIP_STD,
 
 def load_batch(paths, size: int, mean=CLIP_MEAN, std=CLIP_STD,
                pad_square: bool = False) -> np.ndarray:
-    """List of paths -> (N, size, size, 3) float32, one device transfer."""
+    """List of paths -> (N, size, size, 3) float32, one device transfer.
+
+    JPEG files are decoded through the native multithreaded batch decoder
+    (media/native) when built; everything else goes through PIL.
+    """
+    images = [None] * len(paths)
+    jpeg_idx = [i for i, p in enumerate(paths)
+                if isinstance(p, str) and p.lower().endswith((".jpg", ".jpeg"))]
+    if jpeg_idx:
+        from . import native_loader
+
+        if native_loader.native_available():
+            bufs = [open(paths[i], "rb").read() for i in jpeg_idx]
+            for i, arr in zip(jpeg_idx, native_loader.decode_jpeg_batch(bufs)):
+                images[i] = arr
+    for i, p in enumerate(paths):
+        if images[i] is None:
+            images[i] = image_loader(p)
     return np.stack([
-        clip_preprocess(image_loader(p), size, mean, std, pad_square)
-        for p in paths
+        clip_preprocess(img, size, mean, std, pad_square) for img in images
     ])

@@ -1,0 +1,7 @@
+#!/bin/sh
+# Build libt2vmedia.so (JPEG batch decode + libav video frame extraction).
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -fPIC -shared -std=c++17 -o libt2vmedia.so t2vmedia.cc \
+    -ljpeg -lavformat -lavcodec -lavutil -lswscale -lpthread
+echo "built $(pwd)/libt2vmedia.so"

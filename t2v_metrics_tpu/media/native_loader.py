@@ -1,0 +1,136 @@
+"""ctypes binding for the native media library (libt2vmedia.so).
+
+Builds the library on first use (g++ + libjpeg/libav, see
+native/build.sh); every entry point has a pure-Python fallback (PIL /
+OpenCV) so the package works without a toolchain. The native path is the
+production host-decode pipeline: batched multi-threaded JPEG decode and
+exact sequential video frame extraction feeding device transfers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libt2vmedia.so")
+
+
+def _load():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_SO_PATH):
+            try:
+                subprocess.run(["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+                               check=True, capture_output=True)
+            except Exception:
+                _LIB = False
+                return False
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _LIB = False
+            return False
+        lib.t2v_decode_jpeg_batch.restype = ctypes.c_int
+        lib.t2v_decode_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.t2v_video_info.restype = ctypes.c_int
+        lib.t2v_video_info.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_int64)]
+        lib.t2v_video_frames.restype = ctypes.c_int
+        lib.t2v_video_frames.argtypes = [ctypes.c_char_p,
+                                         ctypes.POINTER(ctypes.c_int64),
+                                         ctypes.c_int, ctypes.c_void_p]
+        _LIB = lib
+        return lib
+
+
+def native_available() -> bool:
+    return bool(_load())
+
+
+def decode_jpeg_batch(buffers: list[bytes], max_w: int = 8192,
+                      max_h: int = 8192, num_threads: int = 0):
+    """Decode a batch of JPEG byte buffers -> list of (H, W, 3) uint8.
+
+    Uses the native thread pool; falls back to PIL when unavailable.
+    """
+    lib = _load()
+    if not lib:
+        from PIL import Image
+        import io
+
+        return [np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+                for b in buffers]
+
+    n = len(buffers)
+    keep = [np.frombuffer(b, dtype=np.uint8) for b in buffers]
+    datas = (ctypes.c_void_p * n)(
+        *[arr.ctypes.data_as(ctypes.c_void_p).value for arr in keep])
+    lens = (ctypes.c_size_t * n)(*[arr.size for arr in keep])
+    out = np.empty((n, max_h, max_w, 3), np.uint8)
+    dims = (ctypes.c_int * (2 * n))()
+    lib.t2v_decode_jpeg_batch(
+        ctypes.cast(datas, ctypes.POINTER(ctypes.c_void_p)), lens, n,
+        out.ctypes.data_as(ctypes.c_void_p), dims, max_w, max_h, num_threads)
+    results = []
+    for i in range(n):
+        h, w = dims[2 * i], dims[2 * i + 1]
+        if h == 0:  # decode failed; fall back per-image
+            from PIL import Image
+            import io
+
+            results.append(np.asarray(
+                Image.open(io.BytesIO(buffers[i])).convert("RGB")))
+        else:
+            results.append(np.ascontiguousarray(
+                out[i].reshape(-1)[: h * w * 3].reshape(h, w, 3)))
+    return results
+
+
+def video_info(path: str):
+    """(total_frames, width, height, fps) via libavformat; None on failure."""
+    lib = _load()
+    if not lib:
+        return None
+    info = (ctypes.c_int64 * 5)()
+    if lib.t2v_video_info(str(path).encode(), info) != 0:
+        return None
+    fps = info[3] / max(info[4], 1)
+    return {"total_frames": int(info[0]), "width": int(info[1]),
+            "height": int(info[2]), "fps": float(fps)}
+
+
+def video_frames(path: str, indices) -> np.ndarray | None:
+    """Decode exact frames (sorted indices) -> (N, H, W, 3) uint8 RGB.
+
+    Sequential decode (no lossy seeks, unlike cv2 CAP_PROP_POS_FRAMES).
+    Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if not lib:
+        return None
+    info = video_info(path)
+    if info is None:
+        return None
+    idx = np.asarray(sorted(int(i) for i in indices), dtype=np.int64)
+    out = np.empty((len(idx), info["height"], info["width"], 3), np.uint8)
+    written = lib.t2v_video_frames(
+        str(path).encode(),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(idx),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if written <= 0:
+        return None
+    return out[:written]

@@ -56,7 +56,24 @@ def extract_frames(video_path: str, num_frames: int, mode: str = "step",
 
     fps: if given, overrides num_frames with time-uniform sampling at that
     rate (Qwen-style video_fps sampling).
+
+    Prefers the native libav sequential decoder (exact frame addressing,
+    multithreaded) and falls back to OpenCV position-seek decode.
     """
+    from . import native_loader
+
+    if native_loader.native_available():
+        info = native_loader.video_info(video_path)
+        if info is not None and info["total_frames"] > 0:
+            total = info["total_frames"]
+            if fps is not None:
+                n = max(int(total / max(info["fps"], 1e-6) * fps), 1)
+                idx = frame_indices(total, n, "linspace")
+            else:
+                idx = frame_indices(total, num_frames, mode)
+            out = native_loader.video_frames(video_path, idx.tolist())
+            if out is not None and len(out):
+                return [f for f in out]
     cap, cv2 = _open_capture(video_path)
     try:
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
