@@ -201,3 +201,35 @@ def test_missing_data_raises(tmp_path):
     with pytest.raises(RuntimeError):
         ds.ensure_downloaded(str(tmp_path / "nope"),
                              lambda: None, "TestData")
+
+
+def test_video_utils_and_fastchat(tmp_path):
+    """Legacy aux surface: clip sampling math, Apollo budget, conversation
+    templates."""
+    from t2v_metrics_tpu.media import video_utils as vu
+    from t2v_metrics_tpu.models import fastchat_utils as fc
+
+    clip_idx, all_idx, ts = vu.calculate_sample_indices(
+        clip_duration=2.0, frames_per_clip=4, total_frames=120,
+        original_fps=30.0, video_duration=4.0)
+    assert len(clip_idx) == 2
+    assert all(len(c) == 4 for c in clip_idx)
+    assert max(all_idx) < 120
+    assert len(ts) == 2 and ts[0][0] <= ts[0][1]
+
+    loader = vu.ApolloMMLoader(clip_duration=2.0, frames_per_clip=4,
+                               num_repeat_token=16, model_max_length=64)
+    # long video must be subsampled to fit the token budget
+    assert loader.effective_sampling_ratio(1000.0) < 0.01
+
+    sq = vu.pad_to_center_square(np.zeros((10, 20, 3), np.uint8), (5, 5, 5))
+    assert sq.shape == (1, 20, 20, 3)
+    assert sq[0, 0, 0, 0] == 5
+
+    conv = fc.get_conv_template("internvl2_5")
+    conv.append_message(conv.roles[0], "hello <image>")
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+    assert prompt.endswith("<|im_start|>assistant\n")
+    assert "hello <image><|im_end|>" in prompt
+    assert fc.get_conv_template("Hermes-2").stop_str == "<|endoftext|>"
