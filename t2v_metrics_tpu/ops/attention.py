@@ -171,7 +171,10 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
     if scale is None:
         scale = d ** -0.5
 
-    d_pad = max(_round_up(d, 128), 128)
+    # Keep D unpadded when it already satisfies TPU tiling (block last dim
+    # equal to the full array dim is allowed) — padding 64->128 would double
+    # the attention FLOPs for d_kv=64 models (T5, CLIP ViT).
+    d_pad = _round_up(d, 8)  # block last dim == (padded) array dim is allowed
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
@@ -290,10 +293,20 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
                                    local_window=local_window,
                                    bidir_ids=bidir_ids)
     if impl == "flash":
+        # Adaptive block sizes: per-program Mosaic launch overhead dominates
+        # when the grid has many tiny programs; prefer few large tiles
+        # (VMEM budget: q/k/v tiles + fp32 (block_q, block_k) scores).
+        sq, sk = q.shape[-2], k.shape[-2]
+        nq = -(-sq // 512)
+        block_q = (_round_up(-(-sq // nq), 128) if sq > 128
+                   else _round_up(max(sq, 8), 8))
+        nk = -(-sk // 1024)
+        block_k = _round_up(-(-sk // nk), 128) if sk > 128 else _round_up(max(sk, 8), 128)
         return flash_attention(q, k, v, bias=bias, kv_mask=kv_mask,
                                causal=causal, scale=scale,
                                segment_ids=segment_ids,
-                               local_window=local_window)
+                               local_window=local_window,
+                               block_q=block_q, block_k=block_k)
     return attention_reference(q, k, v, bias=bias, kv_mask=kv_mask,
                                causal=causal, scale=scale,
                                segment_ids=segment_ids,

@@ -102,6 +102,16 @@ def _register_builtin():
 
     _CLIP_FAMILIES.append((clipscore_names, clipscore_build))
 
+    def itm_names():
+        from .models.blip2_itm import BLIP2_ITM_MODELS
+        return BLIP2_ITM_MODELS
+
+    def itm_build(name, device, cache_dir, **kw):
+        from .models.itm_adapter import Blip2ITMAdapter
+        return Blip2ITMAdapter(name, device, cache_dir, **kw)
+
+    _ITM_FAMILIES.append((itm_names, itm_build))
+
 
 def list_all_vqascore_models() -> list[str]:
     _register_builtin()

@@ -134,3 +134,15 @@ def test_checkpoint_into_adapter(tmp_path):
     img = np.zeros((32, 32, 3), np.uint8)
     s = scorer(images=[img], texts=["hello"])
     assert s.shape == (1, 1)
+
+
+def test_itmscore_facade(img):
+    """ITMScore end-to-end with the tiny BLIP-2 config."""
+    scorer = t2v.ITMScore(model="blip2-itm-test")
+    s = scorer(images=[img], texts=["a cat"])
+    assert s.shape == (1, 1)
+    assert 0.0 <= s[0, 0] <= 1.0
+    full = scorer(images=[img, img], texts=["a cat", "a dog"])
+    assert full.shape == (2, 2)
+    np.testing.assert_allclose(full[0], full[1], rtol=1e-5)
+    assert "blip2-itm" in t2v.list_all_models()
