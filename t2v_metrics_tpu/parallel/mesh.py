@@ -36,12 +36,13 @@ def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
 # Param-name -> (out-sharded?) rules. Matched against the joined pytree path.
 _COL_SHARDED = ("attn/q/w", "attn/k/w", "attn/v/w", "cross/q/w", "cross/k/w",
                 "cross/v/w", "mlp/fc1/w", "mlp/wi_0/w", "mlp/wi_1/w",
-                "mlp/wi/w", "projector/fc1/w", "lm_head", "patch_w")
+                "mlp/wi/w", "mlp/gate/w", "mlp/up/w",
+                "projector/fc1/w", "lm_head", "patch_w")
 _ROW_SHARDED = ("attn/o/w", "cross/o/w", "mlp/fc2/w", "mlp/wo/w",
-                "projector/fc2/w")
+                "mlp/down/w", "projector/fc2/w")
 _HEAD_SHARDED = ("rel_bias",)  # (buckets, heads): shard heads
 _COL_BIAS = ("attn/q/b", "attn/k/b", "attn/v/b", "mlp/fc1/b",
-             "projector/fc1/b")
+             "mlp/gate/b", "mlp/up/b", "projector/fc1/b")
 
 
 def _path_str(path) -> str:

@@ -1,0 +1,123 @@
+"""GSPMD sharding tests on the virtual 8-device CPU mesh: TP partition
+specs must compile + execute for every local model family (BASELINE
+config 5: qwen3-vl sharded over ICI)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from t2v_metrics_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return pmesh.make_mesh(dp=2, tp=4)
+
+
+def test_qwen3vl_tp_scoring(mesh):
+    from t2v_metrics_tpu.models import qwen3vl as q3
+    from t2v_metrics_tpu.models import qwen2vl as q2
+
+    cfg = q3.resolve_config("qwen3-vl-test")
+    params = q3.init_qwen3vl(jax.random.PRNGKey(0), cfg)
+    params = pmesh.shard_params(params, mesh)
+
+    rng = np.random.default_rng(0)
+    fake = q2.QwenVisionConfig(patch_size=4, temporal_patch_size=2, merge_size=2)
+    frames = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    patches, grid = q2.frames_to_patches(frames, fake)
+    pos_hw = q3.vision_geometry(grid, cfg.vision)
+    pe_idx, pe_w, pe_perm = q3.pos_embed_interp(grid, cfg.vision)
+
+    with mesh:
+        feats, ds = jax.jit(
+            lambda p, *a: q3.vision_tower(p["vision"], cfg.vision, *a,
+                                          grid_t=1))(
+            params, jnp.asarray(patches), jnp.asarray(pos_hw),
+            jnp.asarray(pe_idx), jnp.asarray(pe_w), jnp.asarray(pe_perm),
+            jnp.asarray(np.zeros(patches.shape[0], np.int32)))
+
+        n_vis = int(np.prod(grid)) // 4
+        b = 2
+        prompt = [5, 6, 503, *([501] * n_vis), 504, 7, 8]
+        ids = np.tile(np.array(prompt + [11, 12]), (b, 1))
+        rope_cfg = q2.Qwen2VLConfig(
+            vision=q2.QwenVisionConfig(merge_size=2, tokens_per_second=1),
+            text=cfg.text, image_token_id=501, video_token_id=502,
+            vision_start_token_id=503)
+        pos = np.repeat(
+            q2.build_rope_index(ids[0], [grid], rope_cfg)[:, None, :], b, axis=1)
+        vis_mask = ids == 501
+        vis_slot = np.zeros_like(ids)
+        vis_slot[vis_mask] = np.tile(np.arange(n_vis), b)
+
+        dps = NamedSharding(mesh, P("dp"))
+        out = jax.jit(lambda p, *a: q3.splice_and_score(p, cfg, *a))(
+            params,
+            jax.device_put(jnp.asarray(ids), dps),
+            jax.device_put(feats[None].repeat(b, 0), dps),
+            jnp.stack([d[None].repeat(b, 0) for d in ds]),
+            jax.device_put(jnp.asarray(vis_mask), dps),
+            jax.device_put(jnp.asarray(vis_slot), dps),
+            jnp.asarray(pos),
+            jax.device_put(jnp.ones(ids.shape, bool), dps),
+            jnp.asarray([[11, 12]] * b),
+            jnp.asarray([[len(prompt) - 1, len(prompt)]] * b),
+            jnp.ones((b, 2), jnp.float32))
+        out.block_until_ready()
+    assert out.shape == (b,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gemma3_tp_scoring(mesh):
+    from t2v_metrics_tpu.models import gemma3 as g3
+
+    cfg = g3.GEMMA3_MODELS["gemma-3-test"]["config"]
+    params = g3.init_gemma3(jax.random.PRNGKey(1), cfg)
+    params = pmesh.shard_params(params, mesh)
+
+    rng = np.random.default_rng(1)
+    px = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    with mesh:
+        feats = jax.jit(lambda p, x: g3.image_features(p, cfg, x))(params,
+                                                                   jnp.asarray(px))
+        n_vis = cfg.mm_tokens_per_image
+        ids = np.tile(np.array([2, 10, 502, *([501] * n_vis), 503, 11, 12, 20]),
+                      (2, 1))
+        vis_mask = ids == 501
+        vis_slot = np.zeros_like(ids)
+        vis_slot[vis_mask] = np.tile(np.arange(n_vis), 2)
+        out = jax.jit(lambda p, *a: g3.splice_and_score(p, cfg, *a))(
+            params, jnp.asarray(ids), feats,
+            jnp.asarray(vis_mask), jnp.asarray(vis_slot),
+            jnp.asarray(np.tile(np.arange(ids.shape[1]), (2, 1))),
+            jnp.ones(ids.shape, bool),
+            jnp.asarray([[20]] * 2),
+            jnp.asarray([[ids.shape[1] - 2]] * 2),
+            jnp.ones((2, 1), jnp.float32))
+        out.block_until_ready()
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_tp_matches_single_device():
+    """Sharded scoring must be numerically identical to unsharded."""
+    from t2v_metrics_tpu.models import clip_flant5 as cft5
+    from t2v_metrics_tpu.models.adapters import CLIP_T5_MODELS
+
+    cfg = CLIP_T5_MODELS["clip-flant5-test"]["config"]
+    params = cft5.init_clip_t5(jax.random.PRNGKey(3), cfg)
+
+    rng = np.random.default_rng(3)
+    px = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    feats_ref = cft5.image_features(params, cfg, jnp.asarray(px))
+
+    mesh = pmesh.make_mesh(dp=1, tp=4)
+    sharded = pmesh.shard_params(params, mesh)
+    with mesh:
+        feats_tp = jax.jit(lambda p, x: cft5.image_features(p, cfg, x))(
+            sharded, jnp.asarray(px))
+    np.testing.assert_allclose(np.asarray(feats_tp), np.asarray(feats_ref),
+                               atol=2e-4)
