@@ -158,8 +158,20 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
 
     scale = cfg.q_scale if cfg.q_scale is not None else None
     if cache_layer is not None:
-        # decoding: q len is small; mask must cover cache length
-        out = attention(q, k_rep, v_rep, kv_mask=mask, causal=False,
+        # cached path: the chunk occupies cache slots [cache_pos,
+        # cache_pos+s); causal structure is expressed as an additive bias
+        # against absolute cache positions (works for both multi-token
+        # prefill and single-token steps), combined with the validity mask.
+        max_len = k_full.shape[2]
+        rows = cache_pos + jnp.arange(s)
+        cols = jnp.arange(max_len)
+        keep = cols[None, :] <= rows[:, None]            # (s, max_len)
+        if mask is not None:
+            keep = keep[None] & mask[:, None, :]          # (B, s, max_len)
+            bias = jnp.where(keep, 0.0, -1e30)[:, None]
+        else:
+            bias = jnp.where(keep, 0.0, -1e30)[None, None]
+        out = attention(q, k_rep, v_rep, bias=bias, causal=False,
                         impl="reference", scale=scale)
     else:
         out = attention(q, k_rep, v_rep, kv_mask=mask, causal=True,

@@ -97,6 +97,14 @@ class Qwen2VLAdapter(VQAScoreModel):
         self._logits_jit = jax.jit(
             lambda p, embeds, pos, mask: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask)[0])
+        self._prefill_jit = jax.jit(
+            lambda p, embeds, pos, mask, cache: dec.forward(
+                p["decoder"], cfg.text, embeds, pos, mask,
+                cache=cache, cache_pos=0))
+        self._step_jit = jax.jit(
+            lambda p, emb1, pos1, mask, cache, cpos: dec.forward(
+                p["decoder"], cfg.text, emb1, pos1, mask,
+                cache=cache, cache_pos=cpos))
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
@@ -311,40 +319,49 @@ class Qwen2VLAdapter(VQAScoreModel):
 
     def _greedy_steps(self, ids_row, feats, vis_mask, vis_slot, pos_row,
                       n_prompt, max_new_tokens, temperature=1.0):
-        """Greedy generation for one sequence; returns (gen_ids, prob_dists).
+        """KV-cached greedy generation for one sequence.
 
-        Each step re-runs the (jitted, bucketed) prefill — acceptable for the
-        1-few token scoring paths; KV-cache decode is the planned fast path.
+        One bucketed prefill writes the prompt's k/v into a static cache;
+        each subsequent step is a single-token decode (cache positions are
+        absolute, so causality is expressed against cache indices in the
+        decoder's cached-attention path). Returns (gen_ids, prob_dists).
         """
         cfg = self.config
         gen, dists = [], []
-        ids = ids_row.copy()
-        pos = pos_row.copy()
-        s = ids.shape[0]
+        s = ids_row.shape[0]
+        max_len = s + max_new_tokens
+
+        embed = self.params["decoder"]["embed"]
+        tok = embed[jnp.asarray(ids_row[None])]
+        vis = jnp.take_along_axis(jnp.asarray(feats[None]),
+                                  jnp.asarray(vis_slot[None])[..., None], axis=1)
+        embeds = jnp.where(jnp.asarray(vis_mask[None])[..., None],
+                           vis.astype(tok.dtype), tok)
+        cache = dec.init_cache(cfg.text, 1, max_len, dtype=embed.dtype)
+        valid = np.zeros((1, max_len), bool)
+        valid[0, :n_prompt] = True
+
+        logits, cache = self._prefill_jit(
+            self.params, embeds, jnp.asarray(pos_row[:, None, :]),
+            jnp.asarray(valid), cache)
+        dist = jax.nn.softmax(logits[0, n_prompt - 1] / temperature)
+        last_pos = int(pos_row[:, n_prompt - 1].max())
+
         for step in range(max_new_tokens):
-            n = n_prompt + step
-            if n >= s:
-                break
-            tok = self.params["decoder"]["embed"][jnp.asarray(ids[None])]
-            vis = jnp.take_along_axis(jnp.asarray(feats[None]),
-                                      jnp.asarray(vis_slot[None])[..., None], axis=1)
-            embeds = jnp.where(jnp.asarray(vis_mask[None])[..., None],
-                               vis.astype(tok.dtype), tok)
-            mask = np.zeros((1, s), bool)
-            mask[0, :n] = True
-            logits = self._logits_jit(self.params, embeds,
-                                      jnp.asarray(pos[:, None, :]),
-                                      jnp.asarray(mask))
-            dist = jax.nn.softmax(logits[0, n - 1] / temperature)
             dists.append(np.asarray(dist, np.float32))
             nxt = int(np.argmax(dists[-1]))
             gen.append(nxt)
-            if n < s:
-                ids[n] = nxt
-                last = pos[:, n - 1].max()
-                pos[:, n] = last + 1
-            if self.eos_token_id is not None and nxt == self.eos_token_id:
+            if (self.eos_token_id is not None and nxt == self.eos_token_id) \
+                    or step == max_new_tokens - 1:
                 break
+            cpos = s + step
+            valid[0, cpos] = True
+            emb1 = embed[jnp.asarray([[nxt]])]
+            pos1 = jnp.full((3, 1, 1), last_pos + 1 + step, jnp.int64)
+            logits, cache = self._step_jit(self.params, emb1, pos1,
+                                           jnp.asarray(valid), cache,
+                                           jnp.asarray(cpos))
+            dist = jax.nn.softmax(logits[0, 0] / temperature)
         return gen, dists
 
     def forward_with_trace(self, images, texts, fps=None,

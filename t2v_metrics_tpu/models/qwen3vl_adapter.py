@@ -67,6 +67,14 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
         self._logits_jit = jax.jit(
             lambda p, embeds, pos, mask: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask)[0])
+        self._prefill_jit = jax.jit(
+            lambda p, embeds, pos, mask, cache: dec.forward(
+                p["decoder"], cfg.text, embeds, pos, mask,
+                cache=cache, cache_pos=0))
+        self._step_jit = jax.jit(
+            lambda p, emb1, pos1, mask, cache, cpos: dec.forward(
+                p["decoder"], cfg.text, emb1, pos1, mask,
+                cache=cache, cache_pos=cpos))
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
