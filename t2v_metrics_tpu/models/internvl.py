@@ -1,0 +1,359 @@
+"""InternVL 3/3.5: InternViT (layer-scale ViT) + pixel-shuffle + Qwen LLM.
+
+Reference adapter surface (t2v_metrics/models/vqascore_models/
+internvl_model.py — disabled in the v3.1 checkout for transformers-5.x
+breakage but part of the inventory): ImageNet-normalized 448px tile
+pipeline with `find_closest_aspect_ratio`/`dynamic_preprocess` (max 12
+tiles + thumbnail, :227-292), video as 32 single-tile segments (:293-322),
+`<img><IMG_CONTEXT>*N</img>` prompt expansion with fastchat conversation
+templates (:344-377), P(first answer token) scoring (:383-432).
+
+Architecture (HF InternVLForConditionalGeneration semantics):
+  * InternViT: conv patch embed (+bias), CLS token, absolute position
+    embeddings, pre/post-LN blocks with layer-scale (lambda_1/lambda_2);
+  * feature path: last hidden state, CLS dropped -> (f, f) grid ->
+    pixel-shuffle 0.5 (channels x4, tokens /4) -> LayerNorm + 2-layer MLP
+    projector into the LLM width;
+  * LLM: Qwen2.5 (our generic decoder, 1D RoPE, qkv bias).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import layers as L
+from ..ops.attention import attention
+from ..ops.image import patchify
+from . import decoder as dec
+
+Params = Any
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class InternVisionConfig:
+    image_size: int = 448
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_dim: int = 4096
+    ln_eps: float = 1e-6
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+@dataclasses.dataclass(frozen=True)
+class InternVLConfig:
+    vision: InternVisionConfig
+    text: dec.DecoderConfig
+    downsample_ratio: float = 0.5
+    image_token_id: int = 151667  # <IMG_CONTEXT>
+    img_start_token: str = "<img>"
+    img_end_token: str = "</img>"
+    max_tiles: int = 12
+
+    @property
+    def tokens_per_tile(self) -> int:
+        g = int(self.vision.grid * self.downsample_ratio)
+        return g * g
+
+
+def _qwen25_text(d_model, layers, heads, kv_heads, d_ff, vocab=151936):
+    return dec.DecoderConfig(
+        vocab_size=vocab, d_model=d_model, layers=layers, heads=heads,
+        kv_heads=kv_heads, head_dim=d_model // heads, d_ff=d_ff,
+        rope_theta=1_000_000.0, mrope_section=None, qkv_bias=True)
+
+
+INTERNVL_MODELS = {
+    "internvl3-1b": {"hf": "OpenGVLab/InternVL3-1B-hf",
+                     "config": InternVLConfig(
+                         InternVisionConfig(),
+                         _qwen25_text(896, 24, 14, 2, 4864))},
+    "internvl3-2b": {"hf": "OpenGVLab/InternVL3-2B-hf",
+                     "config": InternVLConfig(
+                         InternVisionConfig(),
+                         _qwen25_text(1536, 28, 12, 2, 8960))},
+    "internvl3-8b": {"hf": "OpenGVLab/InternVL3-8B-hf",
+                     "config": InternVLConfig(
+                         InternVisionConfig(),
+                         _qwen25_text(3584, 28, 28, 4, 18944, vocab=152064))},
+    "internvl3-test": {"hf": None,
+                       "config": InternVLConfig(
+                           InternVisionConfig(image_size=28, patch_size=14,
+                                              width=32, layers=2, heads=4,
+                                              mlp_dim=64),
+                           dec.DecoderConfig(vocab_size=512, d_model=48,
+                                             layers=2, heads=4, kv_heads=2,
+                                             head_dim=12, d_ff=96,
+                                             rope_theta=1_000_000.0,
+                                             mrope_section=None, qkv_bias=True),
+                           image_token_id=500, max_tiles=4)},
+}
+
+
+# ---------------------------------------------------------------------------
+# Host tile preprocessing (reference internvl_model.py:227-292)
+# ---------------------------------------------------------------------------
+
+def find_closest_aspect_ratio(aspect_ratio, target_ratios, width, height,
+                              image_size):
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for ratio in target_ratios:
+        target_ar = ratio[0] / ratio[1]
+        diff = abs(aspect_ratio - target_ar)
+        if diff < best_diff:
+            best_diff = diff
+            best = ratio
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best = ratio
+    return best
+
+
+def dynamic_preprocess(img: np.ndarray, min_num=1, max_num=12, image_size=448,
+                       use_thumbnail=True) -> list[np.ndarray]:
+    """Split an image into aspect-matched image_size tiles (+ thumbnail)."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    aspect = w / h
+    target_ratios = sorted(
+        {(i, j) for n in range(min_num, max_num + 1)
+         for i in range(1, n + 1) for j in range(1, n + 1)
+         if min_num <= i * j <= max_num},
+        key=lambda r: r[0] * r[1])
+    ratio = find_closest_aspect_ratio(aspect, target_ratios, w, h, image_size)
+    tw, th = image_size * ratio[0], image_size * ratio[1]
+    blocks = ratio[0] * ratio[1]
+    resized = np.asarray(Image.fromarray(img).resize((tw, th), Image.BICUBIC))
+    tiles = []
+    cols = tw // image_size
+    for i in range(blocks):
+        x = (i % cols) * image_size
+        y = (i // cols) * image_size
+        tiles.append(resized[y:y + image_size, x:x + image_size])
+    if use_thumbnail and len(tiles) != 1:
+        tiles.append(np.asarray(Image.fromarray(img).resize(
+            (image_size, image_size), Image.BICUBIC)))
+    return tiles
+
+
+def preprocess_tiles(tiles: list[np.ndarray]) -> np.ndarray:
+    x = np.stack(tiles).astype(np.float32) / 255.0
+    return ((x - np.asarray(IMAGENET_MEAN, np.float32))
+            / np.asarray(IMAGENET_STD, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Device
+# ---------------------------------------------------------------------------
+
+def vision_tower(p: Params, cfg: InternVisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, 1+P, width), last hidden state (no final LN)."""
+    b = pixels.shape[0]
+    x = patchify(pixels, cfg.patch_size) @ p["patch_w"] + p["patch_b"]
+    cls = jnp.broadcast_to(p["cls"], (b, 1, cfg.width)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["pos_emb"][: x.shape[1]]
+    for blk in p["blocks"]:
+        h = L.layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.ln_eps)
+        q = L.split_heads(L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"]), cfg.heads)
+        k = L.split_heads(L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"]), cfg.heads)
+        v = L.split_heads(L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"]), cfg.heads)
+        a = L.merge_heads(attention(q, k, v))
+        a = L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
+        x = x + blk["lambda_1"] * a
+        h = L.layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.ln_eps)
+        h = L.ACT_FNS["gelu"](L.linear(h, blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"]))
+        h = L.linear(h, blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"])
+        x = x + blk["lambda_2"] * h
+    return x
+
+
+def pixel_shuffle(x: jnp.ndarray, scale: float = 0.5) -> jnp.ndarray:
+    """(B, W, H, C) -> (B, W*s, H*s, C/s^2), HF InternVL semantics."""
+    b, w, h, c = x.shape
+    x = x.reshape(b, w, int(h * scale), int(c / scale))
+    x = jnp.transpose(x, (0, 2, 1, 3))
+    x = x.reshape(b, int(h * scale), int(w * scale), int(c / (scale * scale)))
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+def image_features(params: Params, cfg: InternVLConfig, pixels: jnp.ndarray) -> jnp.ndarray:
+    """(B tiles, H, W, 3) -> (B, tokens_per_tile, d_model)."""
+    feats = vision_tower(params["vision"], cfg.vision, pixels)[:, 1:]
+    b, n, c = feats.shape
+    f = int(n ** 0.5)
+    feats = feats.reshape(b, f, f, c)
+    feats = pixel_shuffle(feats, cfg.downsample_ratio)
+    feats = feats.reshape(b, -1, feats.shape[-1])
+    p = params["projector"]
+    h = L.layer_norm(feats, p["ln"]["scale"], p["ln"]["bias"], 1e-5)
+    h = L.ACT_FNS["gelu"](L.linear(h, p["fc1"]["w"], p["fc1"]["b"]))
+    return L.linear(h, p["fc2"]["w"], p["fc2"]["b"])
+
+
+def splice_and_score(params: Params, cfg: InternVLConfig,
+                     ids, vis_feats, vis_mask, vis_slot, position_ids,
+                     attn_mask, ans_ids, ans_pos, ans_mask,
+                     temperature: float = 1.0) -> jnp.ndarray:
+    tok = params["decoder"]["embed"][ids]
+    vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1)
+    embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
+    logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
+                            attn_mask)
+    logp = jax.nn.log_softmax(logits / temperature, axis=-1)
+    sel = jnp.take_along_axis(logp, ans_pos[..., None, None].squeeze(-1), axis=1)
+    tok_logp = jnp.take_along_axis(sel, ans_ids[..., None], axis=-1)[..., 0]
+    tok_logp = tok_logp * ans_mask
+    return tok_logp.sum(-1) / jnp.maximum(ans_mask.sum(-1), 1)
+
+
+# ---------------------------------------------------------------------------
+# Init / convert
+# ---------------------------------------------------------------------------
+
+def init_internvl(key, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
+    kv, kp, kd = jax.random.split(key, 3)
+    v = cfg.vision
+    ks = jax.random.split(kv, v.layers + 3)
+    patch_dim = 3 * v.patch_size ** 2
+
+    def lin(k, din, dout):
+        return {"w": (jax.random.normal(k, (din, dout)) * din ** -0.5).astype(dtype),
+                "b": jnp.zeros((dout,), dtype)}
+
+    def ln(dim):
+        return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+    blocks = []
+    for i in range(v.layers):
+        sub = jax.random.split(ks[i], 6)
+        blocks.append({
+            "ln1": ln(v.width),
+            "attn": {"q": lin(sub[0], v.width, v.width),
+                     "k": lin(sub[1], v.width, v.width),
+                     "v": lin(sub[2], v.width, v.width),
+                     "o": lin(sub[3], v.width, v.width)},
+            "ln2": ln(v.width),
+            "mlp": {"fc1": lin(sub[4], v.width, v.mlp_dim),
+                    "fc2": lin(sub[5], v.mlp_dim, v.width)},
+            "lambda_1": jnp.full((v.width,), 0.1, dtype),
+            "lambda_2": jnp.full((v.width,), 0.1, dtype),
+        })
+    shuffle_dim = int(v.width / cfg.downsample_ratio ** 2)
+    k1, k2 = jax.random.split(kp)
+    return {
+        "vision": {
+            "cls": jnp.zeros((v.width,), dtype),
+            "patch_w": (jax.random.normal(ks[-2], (patch_dim, v.width))
+                        * patch_dim ** -0.5).astype(dtype),
+            "patch_b": jnp.zeros((v.width,), dtype),
+            "pos_emb": (jax.random.normal(ks[-1], (v.grid ** 2 + 1, v.width))
+                        * 0.02).astype(dtype),
+            "blocks": blocks,
+        },
+        "projector": {
+            "ln": ln(shuffle_dim),
+            "fc1": lin(k1, shuffle_dim, cfg.text.d_model),
+            "fc2": lin(k2, cfg.text.d_model, cfg.text.d_model),
+        },
+        "decoder": dec.init_decoder(kd, cfg.text, dtype),
+    }
+
+
+def convert_internvl(sd, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
+    from .convert import t2np
+
+    def J(name, transpose=False):
+        arr = t2np(sd[name])
+        return jnp.asarray(arr.T if transpose else arr, dtype)
+
+    def lin(prefix):
+        return {"w": J(f"{prefix}.weight", True),
+                "b": J(f"{prefix}.bias") if f"{prefix}.bias" in sd else None}
+
+    def ln(prefix):
+        return {"scale": J(f"{prefix}.weight"), "bias": J(f"{prefix}.bias")}
+
+    vp = ("model.vision_tower" if any(k.startswith("model.vision_tower") for k in sd)
+          else "vision_tower")
+    tp = ("model.language_model" if any(k.startswith("model.language_model") for k in sd)
+          else "language_model.model")
+    mp = ("model.multi_modal_projector"
+          if any(k.startswith("model.multi_modal_projector") for k in sd)
+          else "multi_modal_projector")
+
+    v = cfg.vision
+    conv = t2np(sd[f"{vp}.embeddings.patch_embeddings.projection.weight"])
+    blocks = []
+    for i in range(v.layers):
+        b = f"{vp}.encoder.layer.{i}"
+        blocks.append({
+            "ln1": ln(f"{b}.layernorm_before"),
+            "attn": {"q": lin(f"{b}.attention.q_proj"),
+                     "k": lin(f"{b}.attention.k_proj"),
+                     "v": lin(f"{b}.attention.v_proj"),
+                     "o": lin(f"{b}.attention.projection_layer")},
+            "ln2": ln(f"{b}.layernorm_after"),
+            "mlp": {"fc1": lin(f"{b}.mlp.fc1"), "fc2": lin(f"{b}.mlp.fc2")},
+            "lambda_1": J(f"{b}.lambda_1"),
+            "lambda_2": J(f"{b}.lambda_2"),
+        })
+    vision = {
+        "cls": jnp.asarray(t2np(sd[f"{vp}.embeddings.cls_token"]).reshape(-1), dtype),
+        "patch_w": jnp.asarray(conv.reshape(conv.shape[0], -1).T, dtype),
+        "patch_b": J(f"{vp}.embeddings.patch_embeddings.projection.bias"),
+        "pos_emb": jnp.asarray(
+            t2np(sd[f"{vp}.embeddings.position_embeddings"])[0], dtype),
+        "blocks": blocks,
+    }
+
+    dec_blocks = []
+    for i in range(cfg.text.layers):
+        b = f"{tp}.layers.{i}"
+        dec_blocks.append({
+            "ln1": {"scale": J(f"{b}.input_layernorm.weight")},
+            "attn": {
+                "q": {"w": J(f"{b}.self_attn.q_proj.weight", True),
+                      "b": J(f"{b}.self_attn.q_proj.bias")},
+                "k": {"w": J(f"{b}.self_attn.k_proj.weight", True),
+                      "b": J(f"{b}.self_attn.k_proj.bias")},
+                "v": {"w": J(f"{b}.self_attn.v_proj.weight", True),
+                      "b": J(f"{b}.self_attn.v_proj.bias")},
+                "o": {"w": J(f"{b}.self_attn.o_proj.weight", True), "b": None},
+            },
+            "ln2": {"scale": J(f"{b}.post_attention_layernorm.weight")},
+            "mlp": {
+                "gate": {"w": J(f"{b}.mlp.gate_proj.weight", True), "b": None},
+                "up": {"w": J(f"{b}.mlp.up_proj.weight", True), "b": None},
+                "down": {"w": J(f"{b}.mlp.down_proj.weight", True), "b": None},
+            },
+        })
+    decoder = {
+        "embed": J(f"{tp}.embed_tokens.weight"),
+        "blocks": dec_blocks,
+        "ln_final": {"scale": J(f"{tp}.norm.weight")},
+    }
+    if not cfg.text.tie_embeddings:
+        decoder["lm_head"] = J("lm_head.weight", True)
+    return {
+        "vision": vision,
+        "projector": {"ln": ln(f"{mp}.layer_norm"),
+                      "fc1": lin(f"{mp}.linear_1"),
+                      "fc2": lin(f"{mp}.linear_2")},
+        "decoder": decoder,
+    }

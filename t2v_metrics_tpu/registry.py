@@ -72,6 +72,16 @@ def _register_builtin():
 
     _VQA_FAMILIES.append((paligemma_names, paligemma_build))
 
+    def internvl_names():
+        from .models.internvl import INTERNVL_MODELS
+        return INTERNVL_MODELS
+
+    def internvl_build(name, device, cache_dir, **kw):
+        from .models.internvl_adapter import InternVLAdapter
+        return InternVLAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((internvl_names, internvl_build))
+
     def gpt4v_names():
         from .remote.gpt4v import GPT4V_MODELS
         return GPT4V_MODELS
