@@ -55,6 +55,10 @@ class DecoderConfig:
     layer_types: tuple | None = None  # per-layer 'sliding_attention'/'full_attention'
     local_rope_theta: float | None = None  # rope theta for sliding layers
     rope_scaling_factor: float | None = None  # linear scaling, global layers
+    # --- MoE (Qwen3-VL-MoE-style) ---------------------------------------
+    num_experts: int = 0                 # 0 -> dense MLP
+    experts_per_tok: int = 8
+    moe_d_ff: int = 0                    # per-expert intermediate size
 
 
 # ---------------------------------------------------------------------------
@@ -182,8 +186,36 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
 
 
 def _mlp(p, cfg: DecoderConfig, x):
+    if "moe" in p:
+        return _moe_mlp(p["moe"], cfg, x)
     h = L.ACT_FNS[cfg.act](x @ p["gate"]["w"]) * (x @ p["up"]["w"])
     return h @ p["down"]["w"]
+
+
+def _moe_mlp(p, cfg: DecoderConfig, x):
+    """Top-k routed SwiGLU experts (HF Qwen3VLMoe semantics: fp32 softmax
+    router, top-k renormalized, packed gate_up (E, H, 2I) / down (E, I, H)).
+
+    Dense-einsum formulation: every token runs every expert and zero router
+    weights mask the rest — exact, compiler-friendly, and the right shape
+    for expert-sharded (EP) meshes; a sorted-dispatch kernel is the planned
+    optimization for very large expert counts.
+    """
+    b, s, h = x.shape
+    xt = x.reshape(-1, h)
+    t = xt.shape[0]
+    logits = xt @ p["router"]["w"]                        # (T, E)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.experts_per_tok)
+    topv = topv / topv.sum(-1, keepdims=True)
+    w = jnp.zeros_like(probs)
+    w = w.at[jnp.arange(t)[:, None], topi].set(topv)      # (T, E)
+    gu = jnp.einsum("th,ehi->tei", xt, p["gate_up"])      # (T, E, 2I)
+    g, u = jnp.split(gu, 2, axis=-1)
+    act = L.ACT_FNS[cfg.act](g) * u
+    out = jnp.einsum("tei,eih->teh", act, p["down"])      # (T, E, H)
+    out = (out * w[..., None].astype(out.dtype)).sum(axis=1)
+    return out.reshape(b, s, h).astype(x.dtype)
 
 
 def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
@@ -266,6 +298,23 @@ def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32) -> Params:
     kv_inner = cfg.kv_heads * cfg.head_dim
     for i in range(cfg.layers):
         sub = jax.random.split(ks[i], 7)
+        if cfg.num_experts:
+            mlp = {"moe": {
+                "router": {"w": (jax.random.normal(sub[4], (cfg.d_model, cfg.num_experts))
+                                 * cfg.d_model ** -0.5).astype(dtype)},
+                "gate_up": (jax.random.normal(
+                    sub[5], (cfg.num_experts, cfg.d_model, 2 * cfg.moe_d_ff))
+                    * cfg.d_model ** -0.5).astype(dtype),
+                "down": (jax.random.normal(
+                    sub[6], (cfg.num_experts, cfg.moe_d_ff, cfg.d_model))
+                    * cfg.moe_d_ff ** -0.5).astype(dtype),
+            }}
+        else:
+            mlp = {
+                "gate": lin(sub[4], cfg.d_model, cfg.d_ff, False),
+                "up": lin(sub[5], cfg.d_model, cfg.d_ff, False),
+                "down": lin(sub[6], cfg.d_ff, cfg.d_model, False),
+            }
         blocks.append({
             "ln1": {"scale": jnp.ones((cfg.d_model,), dtype)},
             "attn": {
@@ -275,11 +324,7 @@ def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32) -> Params:
                 "o": lin(sub[3], inner, cfg.d_model, False),
             },
             "ln2": {"scale": jnp.ones((cfg.d_model,), dtype)},
-            "mlp": {
-                "gate": lin(sub[4], cfg.d_model, cfg.d_ff, False),
-                "up": lin(sub[5], cfg.d_model, cfg.d_ff, False),
-                "down": lin(sub[6], cfg.d_ff, cfg.d_model, False),
-            },
+            "mlp": mlp,
         })
     out = {
         "embed": (jax.random.normal(ks[-2], (cfg.vocab_size, cfg.d_model)) * 0.02).astype(dtype),

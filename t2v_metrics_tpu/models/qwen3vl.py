@@ -104,12 +104,34 @@ QWEN3_VL_MODELS = {
                     "config": None, "dims": (4096, 36, 32, 8, 12288)},
     "qwen3-vl-32b": {"hf": "Qwen/Qwen3-VL-32B-Instruct", "fps": 8.0,
                      "config": None, "dims": (5120, 64, 64, 8, 25600)},
+    # MoE variants (reference qwen3vl_model.py:28-45); dense-einsum experts,
+    # EP-shardable over the packed expert axis
+    "qwen3-vl-30b-a3b": {"hf": "Qwen/Qwen3-VL-30B-A3B-Instruct", "fps": 8.0,
+                         "config": None,
+                         "moe_dims": (2048, 48, 32, 4, 128, 8, 768)},
+    "qwen3-vl-235b-a22b": {"hf": "Qwen/Qwen3-VL-235B-A22B-Instruct", "fps": 8.0,
+                           "config": None,
+                           "moe_dims": (4096, 94, 64, 4, 128, 8, 1536)},
     "qwen3-vl-test": {"hf": None, "fps": 8.0, "config": "test", "dims": None},
+    "qwen3-vl-moe-test": {"hf": None, "fps": 8.0, "config": "moe-test",
+                          "dims": None},
 }
 
 
 def resolve_config(name: str) -> Qwen3VLConfig:
     spec = QWEN3_VL_MODELS[name]
+    if spec["config"] == "moe-test":
+        base = resolve_config("qwen3-vl-test")
+        return dataclasses.replace(
+            base, text=dataclasses.replace(base.text, num_experts=4,
+                                           experts_per_tok=2, moe_d_ff=32))
+    if spec.get("moe_dims"):
+        d_model, layers, heads, kv, n_exp, topk, moe_ff = spec["moe_dims"]
+        return Qwen3VLConfig(
+            vision=Qwen3VisionConfig(out_hidden=d_model),
+            text=dataclasses.replace(
+                _q3_text(d_model, layers, heads, kv, d_ff=0),
+                num_experts=n_exp, experts_per_tok=topk, moe_d_ff=moe_ff))
     if spec["config"] == "test":
         return Qwen3VLConfig(
             vision=Qwen3VisionConfig(hidden=32, depth=3, heads=4, patch_size=4,
@@ -386,6 +408,18 @@ def convert_qwen3vl(sd, cfg: Qwen3VLConfig, dtype=jnp.bfloat16) -> Params:
     blocks = []
     for i in range(cfg.text.layers):
         b = f"{tp}.layers.{i}"
+        if f"{b}.mlp.experts.gate_up_proj" in sd:
+            mlp = {"moe": {
+                "router": {"w": J(f"{b}.mlp.gate.weight", True)},
+                "gate_up": J(f"{b}.mlp.experts.gate_up_proj"),  # (E, H, 2I)
+                "down": J(f"{b}.mlp.experts.down_proj"),        # (E, I, H)
+            }}
+        else:
+            mlp = {
+                "gate": {"w": J(f"{b}.mlp.gate_proj.weight", True), "b": None},
+                "up": {"w": J(f"{b}.mlp.up_proj.weight", True), "b": None},
+                "down": {"w": J(f"{b}.mlp.down_proj.weight", True), "b": None},
+            }
         blocks.append({
             "ln1": {"scale": J(f"{b}.input_layernorm.weight")},
             "attn": {
@@ -397,11 +431,7 @@ def convert_qwen3vl(sd, cfg: Qwen3VLConfig, dtype=jnp.bfloat16) -> Params:
                 "k_norm": {"scale": J(f"{b}.self_attn.k_norm.weight")},
             },
             "ln2": {"scale": J(f"{b}.post_attention_layernorm.weight")},
-            "mlp": {
-                "gate": {"w": J(f"{b}.mlp.gate_proj.weight", True), "b": None},
-                "up": {"w": J(f"{b}.mlp.up_proj.weight", True), "b": None},
-                "down": {"w": J(f"{b}.mlp.down_proj.weight", True), "b": None},
-            },
+            "mlp": mlp,
         })
     decoder = {
         "embed": J(f"{tp}.embed_tokens.weight"),

@@ -64,6 +64,9 @@ def partition_specs(params, tp_axis: str = "tp"):
         s = _path_str(path)
         if leaf is None or np.ndim(leaf) == 0:
             return P()
+        # expert parallelism: shard the packed expert axis of MoE tensors
+        if s.endswith("moe/gate_up") or s.endswith("moe/down"):
+            return P(tp_axis, None, None)
         if any(s.endswith(k) for k in _COL_SHARDED):
             return P(None, tp_axis) if np.ndim(leaf) == 2 else P(tp_axis)
         if any(s.endswith(k) for k in _ROW_SHARDED):

@@ -111,3 +111,59 @@ def test_full_scoring_parity(setup):
         jnp.asarray([[len(prompt) - 1 + i for i in range(len(answer))]]),
         jnp.ones((1, len(answer)), jnp.float32))
     np.testing.assert_allclose(float(np.asarray(lp)[0]), ref, atol=2e-5)
+
+
+def test_moe_parity():
+    """Our dense-einsum MoE vs tiny random HF Qwen3VLMoe text model."""
+    from transformers import Qwen3VLMoeForConditionalGeneration
+    from transformers.models.qwen3_vl_moe.configuration_qwen3_vl_moe import Qwen3VLMoeConfig
+
+    torch.manual_seed(0)
+    hf_cfg = Qwen3VLMoeConfig(
+        text_config=dict(
+            vocab_size=512, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, hidden_act="silu", max_position_embeddings=512,
+            rms_norm_eps=1e-6, rope_theta=5_000_000.0, attention_bias=False,
+            rope_scaling={"rope_type": "default", "mrope_section": [4, 2, 2],
+                          "mrope_interleaved": True},
+            num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+            decoder_sparse_step=1, mlp_only_layers=[], norm_topk_prob=True,
+            tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+            patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+            out_hidden_size=48, num_position_embeddings=16,
+            deepstack_visual_indexes=[0], hidden_act="gelu_pytorch_tanh",
+        ),
+        image_token_id=501, video_token_id=502, vision_start_token_id=503,
+        vision_end_token_id=504,
+    )
+    hf = Qwen3VLMoeForConditionalGeneration(hf_cfg).eval()
+    from t2v_metrics_tpu.models import decoder as jdec
+
+    cfg_text = jdec.DecoderConfig(
+        vocab_size=512, d_model=48, layers=2, heads=4, kv_heads=2,
+        head_dim=16, d_ff=0, rope_theta=5_000_000.0,
+        mrope_section=(4, 2, 2), mrope_interleaved=True, qkv_bias=False,
+        qk_norm=True, num_experts=4, experts_per_tok=2, moe_d_ff=32)
+    cfg = q3.Qwen3VLConfig(
+        vision=q3.Qwen3VisionConfig(hidden=32, depth=2, heads=4, patch_size=4,
+                                   d_ff=64, out_hidden=48,
+                                   num_position_embeddings=16,
+                                   deepstack_indexes=(0,)),
+        text=cfg_text, image_token_id=501, video_token_id=502,
+        vision_start_token_id=503, vision_end_token_id=504)
+    params = q3.convert_qwen3vl(hf.state_dict(), cfg, dtype=jnp.float32)
+
+    ids = np.array([[5, 6, 7, 8, 9, 10]])
+    with torch.no_grad():
+        ref = hf.model.language_model(
+            input_ids=torch.from_numpy(ids)).last_hidden_state
+        ref_logits = (hf.lm_head(ref)).float().numpy()
+    embeds = params["decoder"]["embed"][jnp.asarray(ids)]
+    pos = np.tile(np.arange(6)[None, None], (3, 1, 1))
+    logits, _ = jdec.forward(params["decoder"], cfg_text, embeds,
+                             jnp.asarray(pos), jnp.ones(ids.shape, bool))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4)

@@ -121,3 +121,25 @@ def test_tp_matches_single_device():
             sharded, jnp.asarray(px))
     np.testing.assert_allclose(np.asarray(feats_tp), np.asarray(feats_ref),
                                atol=2e-4)
+
+
+def test_moe_ep_sharding(mesh):
+    """Expert-sharded MoE decoder must match unsharded numerics."""
+    from t2v_metrics_tpu.models import qwen3vl as q3
+    from t2v_metrics_tpu.models import decoder as dec
+
+    cfg = q3.resolve_config("qwen3-vl-moe-test")
+    params = q3.init_qwen3vl(jax.random.PRNGKey(5), cfg)
+    ids = np.array([[5, 6, 7, 8]])
+    embeds = params["decoder"]["embed"][jnp.asarray(ids)]
+    pos = jnp.asarray(np.tile(np.arange(4)[None, None], (3, 1, 1)))
+    ref, _ = dec.forward(params["decoder"], cfg.text, embeds, pos,
+                         jnp.ones(ids.shape, bool))
+
+    sharded = pmesh.shard_params(params, mesh)
+    with mesh:
+        out, _ = jax.jit(lambda p, e: dec.forward(
+            p["decoder"], cfg.text, e, pos, jnp.ones(ids.shape, bool)))(
+            sharded, embeds)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
