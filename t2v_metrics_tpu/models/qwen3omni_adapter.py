@@ -1,0 +1,255 @@
+"""Qwen3-Omni adapter: audio(+vision) VQAScore scoring.
+
+Reference contract (qwen3omni_model.py): ``allows_audio=True``;
+``audio_paths`` (list per sample) adds audio content blocks (:85-118);
+videos may carry their own audio track (``use_audio_in_video``, :150-181 —
+here gated on the native/libav side and disabled when no demuxer is
+available). The talker (speech output) is not built.
+
+Scoring: teacher-forced P(answer) with audio features spliced at
+``<|audio|>`` positions (sequential rope positions, HF get_rope_index
+:335-345) and Qwen3-VL-style vision splicing for images/videos.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import VIDEO_EXTENSIONS
+from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
+from .adapters import _default_dtype
+from .qwen2vl_adapter import Qwen2VLAdapter, _bucket, SEQ_BUCKETS
+from . import qwen2vl as q2
+from . import qwen3omni as qo
+from . import qwen3omni_audio as qa
+from . import qwen3vl as q3
+from . import decoder as dec
+
+
+def load_audio_mel(path, cfg: qa.AudioEncoderConfig) -> np.ndarray:
+    """Audio file -> (mel_bins, T) Whisper-style log-mel features.
+
+    WAV via the stdlib; other formats need soundfile/librosa (reference
+    uses librosa at 16 kHz).
+    """
+    import wave
+
+    with wave.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = np.frombuffer(w.readframes(n), dtype=np.int16)
+        if w.getnchannels() > 1:
+            raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
+        audio = raw.astype(np.float32) / 32768.0
+    if sr != 16000:  # naive resample (linear) — parity path uses 16k input
+        idx = np.linspace(0, len(audio) - 1, int(len(audio) * 16000 / sr))
+        audio = np.interp(idx, np.arange(len(audio)), audio).astype(np.float32)
+
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor(feature_size=cfg.num_mel_bins,
+                                 sampling_rate=16000, hop_length=160,
+                                 n_fft=400, chunk_length=30)
+    out = fe(audio, sampling_rate=16000, padding="do_not_pad",
+             return_tensors="np", do_normalize=False)
+    return out["input_features"][0]
+
+
+class Qwen3OmniAdapter(Qwen2VLAdapter):
+    video_mode = "direct"
+    allows_image = True
+    allows_video = True
+    allows_audio = True
+    supports_trace = True
+
+    def load_model(self):
+        spec = qo.QWEN3_OMNI_MODELS[self.model_name]
+        self.config = self.kwargs.get("config") or qo.resolve_config(self.model_name)
+        self.fps_default = 8.0
+        dtype = self.kwargs.get("dtype") or _default_dtype()
+        cfg = self.config
+
+        params = self.kwargs.get("params")
+        if params is None:
+            if self.kwargs.get("init") == "random" or spec["hf"] is None:
+                params = qo.init_qwen3omni(
+                    jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)
+            else:
+                params = self._load_from_hf(spec["hf"], cfg, dtype)
+        self.params = params
+
+        tok = self.kwargs.get("tokenizer")
+        if tok is None and spec["hf"] is not None:
+            try:
+                tok = load_hf_tokenizer(spec["hf"])
+            except Exception:
+                warnings.warn(f"tokenizer {spec['hf']} unavailable (offline?)")
+        if tok is None:
+            tok = SimpleT5Tokenizer(cfg.text.vocab_size)
+        self.tokenizer = tok
+        self.eos_token_id = getattr(tok, "eos_token_id", None)
+
+        self._audio_jit = jax.jit(
+            lambda p, chunks, valid, seg: qa.audio_encoder(
+                p["audio"], cfg.audio, chunks, valid, seg))
+        cfg_v = cfg.vision
+        self._vision_jit = jax.jit(
+            lambda p, patches, pos_hw, pe_idx, pe_w, pe_perm, seg, grid_t:
+            q3.vision_tower(p["vision"], cfg_v, patches, pos_hw, pe_idx,
+                            pe_w, pe_perm, seg, grid_t=grid_t),
+            static_argnames=("grid_t",))
+        self._score_jit = jax.jit(
+            lambda p, *a, temperature: qo.splice_and_score(
+                p, cfg, *a, temperature=temperature),
+            static_argnames=("temperature",))
+
+    def _load_from_hf(self, repo, cfg, dtype):
+        try:
+            import torch
+            from transformers import Qwen3OmniMoeForConditionalGeneration
+            hf = Qwen3OmniMoeForConditionalGeneration.from_pretrained(
+                repo, cache_dir=self.cache_dir, torch_dtype=torch.float32)
+            return qo.convert_qwen3omni(hf.state_dict(), cfg, dtype)
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot load {repo}: {e}. Pass init='random' in offline "
+                "environments.") from e
+
+    def _encode_audio(self, path):
+        cfg = self.config
+        mel = load_audio_mel(path, cfg.audio)
+        chunk_lens, valid, seg, total = qa.audio_geometry(mel.shape[1], cfg.audio)
+        cf = cfg.audio.chunk_frames
+        chunks = np.zeros((len(chunk_lens), cfg.audio.num_mel_bins, cf),
+                          np.float32)
+        off = 0
+        for i, l in enumerate(chunk_lens):
+            chunks[i, :, :l] = mel[:, off:off + l]
+            off += l
+        out = self._audio_jit(self.params, jnp.asarray(chunks),
+                              jnp.asarray(valid), jnp.asarray(seg))
+        return np.asarray(out, np.float32)[np.flatnonzero(valid.reshape(-1))]
+
+    def _encode_image_feats(self, path):
+        """image/video path -> (main feats (T, D), n_vis, is_video)."""
+        cfg = self.config
+        is_video = isinstance(path, str) and path.lower().endswith(VIDEO_EXTENSIONS)
+        cfg2 = q2.QwenVisionConfig(patch_size=cfg.vision.patch_size,
+                                   temporal_patch_size=cfg.vision.temporal_patch_size,
+                                   merge_size=cfg.vision.merge_size)
+        if is_video:
+            frames, _ = self._load_video_frames(path, self.fps_default)
+            patches, grid = q2.frames_to_patches(frames, cfg2)
+        else:
+            from ..media.images import image_loader
+
+            patches, grid = q2.image_to_patches(image_loader(path), cfg2)
+        pos_hw = q3.vision_geometry(grid, cfg.vision)
+        pe_idx, pe_w, pe_perm = q3.pos_embed_interp(grid, cfg.vision)
+        seg = np.zeros(patches.shape[0], np.int32)
+        feats, _ds = self._vision_jit(
+            self.params, jnp.asarray(patches), jnp.asarray(pos_hw),
+            jnp.asarray(pe_idx), jnp.asarray(pe_w), jnp.asarray(pe_perm),
+            jnp.asarray(seg), grid_t=int(grid[0]))
+        return np.asarray(feats, np.float32), grid, is_video
+
+    def forward(self, images, texts, audio_paths=None, fps=None,
+                question_template: str = 'Does this figure show "{}"? Please answer Yes or No.',
+                answer_template: str = "Yes", temperature: float = 1.0,
+                **kw) -> np.ndarray:
+        assert len(images) == len(texts)
+        cfg = self.config
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        audio_paths = audio_paths or [None] * len(texts)
+
+        per_pair = []
+        for path, audio, question, answer in zip(images, audio_paths,
+                                                 questions, answers):
+            feats_list, ids = [], []
+            ids += self._encode_text(_CHAT_PRE := "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n")
+            content_mask = []
+            if path is not None:
+                vfeats, grid, is_video = self._encode_image_feats(path)
+                n_vis = vfeats.shape[0]
+                tok = cfg.video_token_id if is_video else cfg.image_token_id
+                ids += [cfg.vision_start_token_id] + [tok] * n_vis \
+                    + [cfg.vision_end_token_id]
+                feats_list.append((tok, vfeats, grid, is_video))
+            if audio is not None:
+                afeats = self._encode_audio(audio)
+                ids += [cfg.audio_start_token_id] \
+                    + [cfg.audio_token_id] * afeats.shape[0] \
+                    + [cfg.audio_end_token_id]
+                feats_list.append((cfg.audio_token_id, afeats, None, False))
+            ids += self._encode_text(f"{question}<|im_end|>\n<|im_start|>assistant\n")
+            ans = self._encode_text(answer)
+            per_pair.append((ids, ans, feats_list))
+
+        p = len(per_pair)
+        s = _bucket(max(len(i) + len(a) for i, a, _ in per_pair), SEQ_BUCKETS)
+        d = cfg.text.d_model
+        t_max = max(sum(f.shape[0] for _, f, _, _ in fl) or 1
+                    for _, _, fl in per_pair)
+        ids_arr = np.zeros((p, s), np.int64)
+        splice_mask = np.zeros((p, s), bool)
+        splice_slot = np.zeros((p, s), np.int64)
+        attn = np.zeros((p, s), bool)
+        pos = np.zeros((3, p, s), np.int64)
+        a_max = max(len(a) for _, a, _ in per_pair)
+        ans_ids = np.zeros((p, a_max), np.int64)
+        ans_pos = np.zeros((p, a_max), np.int64)
+        ans_mask = np.zeros((p, a_max), np.float32)
+        feats = np.zeros((p, t_max, d), np.float32)
+
+        for j, (ids, ans, feats_list) in enumerate(per_pair):
+            n = len(ids)
+            arr = np.asarray(ids)
+            ids_arr[j, :n] = arr
+            ids_arr[j, n:n + len(ans)] = ans
+            attn[j, :n + len(ans)] = True
+            row = 0
+            grids = [g for _, _, g, _ in feats_list if g is not None]
+            spgs = [1.0] * len(grids)
+            for tok, f, _, _ in feats_list:
+                mask = ids_arr[j] == tok
+                mask[n:] = False
+                splice_mask[j] |= mask
+                splice_slot[j][mask] = row + np.arange(mask.sum())
+                feats[j, row:row + f.shape[0]] = f
+                row += f.shape[0]
+            rope_cfg = q2.Qwen2VLConfig(
+                vision=q2.QwenVisionConfig(
+                    merge_size=cfg.vision.merge_size, tokens_per_second=1),
+                text=cfg.text, image_token_id=cfg.image_token_id,
+                video_token_id=cfg.video_token_id,
+                vision_start_token_id=cfg.vision_start_token_id)
+            pos[:, j, :n] = q2.build_rope_index(arr, grids, rope_cfg,
+                                                second_per_grid_ts=spgs)
+            last = pos[:, j, n - 1].max()
+            for i in range(len(ans)):
+                pos[:, j, n + i] = last + 1 + i
+            ans_ids[j, : len(ans)] = ans
+            ans_pos[j, : len(ans)] = n - 1 + np.arange(len(ans))
+            ans_mask[j, : len(ans)] = 1.0
+
+        logp = self._score_jit(
+            self.params, jnp.asarray(ids_arr), jnp.asarray(feats),
+            jnp.asarray(splice_mask), jnp.asarray(splice_slot),
+            jnp.asarray(pos), jnp.asarray(attn), jnp.asarray(ans_ids),
+            jnp.asarray(ans_pos), jnp.asarray(ans_mask),
+            temperature=float(temperature))
+        return np.exp(np.asarray(logp, np.float32))
+
+    def score_matrix(self, images, texts, audio_paths=None, **kw) -> np.ndarray:
+        m, n = len(images), len(texts)
+        flat_imgs = [im for im in images for _ in range(n)]
+        flat_audio = None
+        if audio_paths is not None:
+            flat_audio = [a for a in audio_paths for _ in range(n)]
+        return self.forward(flat_imgs, list(texts) * m,
+                            audio_paths=flat_audio, **kw).reshape(m, n)

@@ -1,0 +1,239 @@
+"""Qwen3-Omni audio encoder (Whisper-style, windowed attention), TPU-native.
+
+Reference adapter surface (t2v_metrics/models/vqascore_models/
+qwen3omni_model.py): ``allows_audio=True`` (:50), audio content appended per
+``audio_paths`` (:85-118), audio-in-video support (:150-181).
+
+Architecture (HF Qwen3OmniMoeAudioEncoder semantics):
+  * 128-bin log-mel chunks of 2*n_window frames, three stride-2 3x3 Conv2d
+    stacks (freq 128->16, time /8) + linear to d_model, sinusoidal positions
+    per chunk;
+  * pre-LN transformer blocks with block-diagonal attention over inference
+    windows of ``n_window_infer`` mel frames (segment-id attention here);
+  * post-LN + proj1/GELU/proj2 to the thinker width.
+
+TPU layout: chunks are processed as a padded batch (static shapes); window
+segment ids are computed on host from the valid-token ranks and invalid
+slots carry segment -1, reproducing HF's ragged flattening exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import layers as L
+from ..ops.attention import attention
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioEncoderConfig:
+    d_model: int = 1280
+    layers: int = 32
+    heads: int = 20
+    ffn_dim: int = 5120
+    num_mel_bins: int = 128
+    max_source_positions: int = 1500
+    n_window: int = 100
+    n_window_infer: int = 400
+    downsample_hidden: int = 480
+    output_dim: int = 3584
+
+    @property
+    def chunk_frames(self) -> int:
+        return self.n_window * 2
+
+    @property
+    def chunk_tokens(self) -> int:
+        t = self.chunk_frames
+        for _ in range(3):
+            t = (t - 1) // 2 + 1
+        return t
+
+    @property
+    def freq_after(self) -> int:
+        f = self.num_mel_bins
+        for _ in range(3):
+            f = (f - 1) // 2 + 1
+        return f
+
+
+def _after_cnn(n: int) -> int:
+    for _ in range(3):
+        n = (n - 1) // 2 + 1
+    return n
+
+
+def audio_geometry(feature_len: int, cfg: AudioEncoderConfig):
+    """Host geometry for one audio: chunk lengths, per-slot validity and
+    window segment ids (HF forward :716-760 semantics)."""
+    cf = cfg.chunk_frames
+    num_chunks = -(-feature_len // cf)
+    chunk_lens = [cf] * num_chunks
+    tail = feature_len % cf
+    if tail:
+        chunk_lens[-1] = tail
+    valid_per_chunk = [_after_cnn(l) for l in chunk_lens]
+    ct = cfg.chunk_tokens
+    valid = np.zeros((num_chunks, ct), bool)
+    for i, v in enumerate(valid_per_chunk):
+        valid[i, :v] = True
+    total_valid = int(valid.sum())
+    # window grouping over valid ranks: window = padded chunk_tokens *
+    # (n_window_infer / chunk_frames)
+    window = ct * (cfg.n_window_infer // cf)
+    ranks = np.cumsum(valid.reshape(-1)) - 1
+    seg = np.where(valid.reshape(-1), ranks // window, -1).astype(np.int32)
+    return chunk_lens, valid, seg, total_valid
+
+
+def sinusoid_positions(length: int, channels: int, max_timescale=10000.0):
+    inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-inc * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+def _conv2d(x, w, b):
+    """NCHW conv, stride 2, padding 1."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out + b[None, :, None, None]
+
+
+def audio_encoder(p: Params, cfg: AudioEncoderConfig,
+                  mel_chunks: jnp.ndarray,   # (N, mel_bins, chunk_frames)
+                  valid: jnp.ndarray,        # (N, chunk_tokens) bool
+                  seg: jnp.ndarray,          # (N*chunk_tokens,) int32
+                  ) -> jnp.ndarray:
+    """-> (N*chunk_tokens, output_dim); caller gathers the valid slots."""
+    n = mel_chunks.shape[0]
+    x = mel_chunks[:, None]                               # (N, 1, F, T)
+    x = jax.nn.gelu(_conv2d(x, p["conv1"]["w"], p["conv1"]["b"]), approximate=False)
+    x = jax.nn.gelu(_conv2d(x, p["conv2"]["w"], p["conv2"]["b"]), approximate=False)
+    x = jax.nn.gelu(_conv2d(x, p["conv3"]["w"], p["conv3"]["b"]), approximate=False)
+    b, c, f, t = x.shape
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, t, c * f)
+    x = x @ p["conv_out"]["w"]                            # (N, T', d_model)
+    pos = jnp.asarray(sinusoid_positions(cfg.max_source_positions, cfg.d_model))
+    x = x + pos[None, : x.shape[1]].astype(x.dtype)
+
+    s = n * x.shape[1]
+    x = x.reshape(1, s, cfg.d_model)
+    for blk in p["blocks"]:
+        h = L.layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], 1e-5)
+        q = L.split_heads(L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"]), cfg.heads)
+        k = L.split_heads(L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"]), cfg.heads)
+        v = L.split_heads(L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"]), cfg.heads)
+        a = L.merge_heads(attention(q, k, v, segment_ids=seg[None]))
+        x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
+        h = L.layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], 1e-5)
+        h = L.ACT_FNS["gelu"](L.linear(h, blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"]))
+        x = x + L.linear(h, blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"])
+
+    x = L.layer_norm(x, p["ln_post"]["scale"], p["ln_post"]["bias"], 1e-5)
+    x = L.ACT_FNS["gelu"](L.linear(x, p["proj1"]["w"], p["proj1"]["b"]))
+    x = L.linear(x, p["proj2"]["w"], p["proj2"]["b"])
+    return x[0]
+
+
+def encode_audio(params: Params, cfg: AudioEncoderConfig,
+                 mel: np.ndarray) -> jnp.ndarray:
+    """mel: (mel_bins, T) log-mel features -> (n_tokens, output_dim)."""
+    chunk_lens, valid, seg, total_valid = audio_geometry(mel.shape[1], cfg)
+    cf = cfg.chunk_frames
+    chunks = np.zeros((len(chunk_lens), cfg.num_mel_bins, cf), np.float32)
+    off = 0
+    for i, l in enumerate(chunk_lens):
+        chunks[i, :, :l] = mel[:, off:off + l]
+        off += l
+    out = audio_encoder(params, cfg, jnp.asarray(chunks), jnp.asarray(valid),
+                        jnp.asarray(seg))
+    return out[np.flatnonzero(valid.reshape(-1))]
+
+
+def init_audio_encoder(key, cfg: AudioEncoderConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.layers + 6)
+
+    def lin(k, din, dout, bias=True):
+        p = {"w": (jax.random.normal(k, (din, dout)) * din ** -0.5).astype(dtype)}
+        p["b"] = jnp.zeros((dout,), dtype) if bias else None
+        return p
+
+    def ln(dim):
+        return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+    def conv(k, cin, cout):
+        return {"w": (jax.random.normal(k, (cout, cin, 3, 3)) * 0.05).astype(dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    blocks = []
+    for i in range(cfg.layers):
+        sub = jax.random.split(ks[i], 6)
+        blocks.append({
+            "ln1": ln(cfg.d_model),
+            "attn": {"q": lin(sub[0], cfg.d_model, cfg.d_model),
+                     "k": lin(sub[1], cfg.d_model, cfg.d_model),
+                     "v": lin(sub[2], cfg.d_model, cfg.d_model),
+                     "o": lin(sub[3], cfg.d_model, cfg.d_model)},
+            "ln2": ln(cfg.d_model),
+            "mlp": {"fc1": lin(sub[4], cfg.d_model, cfg.ffn_dim),
+                    "fc2": lin(sub[5], cfg.ffn_dim, cfg.d_model)},
+        })
+    dh = cfg.downsample_hidden
+    return {
+        "conv1": conv(ks[-6], 1, dh),
+        "conv2": conv(ks[-5], dh, dh),
+        "conv3": conv(ks[-4], dh, dh),
+        "conv_out": {"w": (jax.random.normal(ks[-3], (dh * cfg.freq_after, cfg.d_model))
+                           * (dh * cfg.freq_after) ** -0.5).astype(dtype), "b": None},
+        "blocks": blocks,
+        "ln_post": ln(cfg.d_model),
+        "proj1": lin(ks[-2], cfg.d_model, cfg.d_model),
+        "proj2": lin(ks[-1], cfg.d_model, cfg.output_dim),
+    }
+
+
+def convert_audio_encoder(sd, cfg: AudioEncoderConfig, dtype=jnp.float32,
+                          prefix: str = "") -> Params:
+    from .convert import t2np
+
+    def J(name, transpose=False):
+        arr = t2np(sd[prefix + name])
+        return jnp.asarray(arr.T if transpose else arr, dtype)
+
+    def lin(p):
+        return {"w": J(f"{p}.weight", True), "b": J(f"{p}.bias")}
+
+    def ln(p):
+        return {"scale": J(f"{p}.weight"), "bias": J(f"{p}.bias")}
+
+    blocks = []
+    for i in range(cfg.layers):
+        b = f"layers.{i}"
+        blocks.append({
+            "ln1": ln(f"{b}.self_attn_layer_norm"),
+            "attn": {"q": lin(f"{b}.self_attn.q_proj"),
+                     "k": lin(f"{b}.self_attn.k_proj"),
+                     "v": lin(f"{b}.self_attn.v_proj"),
+                     "o": lin(f"{b}.self_attn.out_proj")},
+            "ln2": ln(f"{b}.final_layer_norm"),
+            "mlp": {"fc1": lin(f"{b}.fc1"), "fc2": lin(f"{b}.fc2")},
+        })
+    return {
+        "conv1": {"w": J("conv2d1.weight"), "b": J("conv2d1.bias")},
+        "conv2": {"w": J("conv2d2.weight"), "b": J("conv2d2.bias")},
+        "conv3": {"w": J("conv2d3.weight"), "b": J("conv2d3.bias")},
+        "conv_out": {"w": J("conv_out.weight", True), "b": None},
+        "blocks": blocks,
+        "ln_post": ln("ln_post"),
+        "proj1": lin("proj1"),
+        "proj2": lin("proj2"),
+    }

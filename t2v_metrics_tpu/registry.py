@@ -72,6 +72,16 @@ def _register_builtin():
 
     _VQA_FAMILIES.append((paligemma_names, paligemma_build))
 
+    def qwen3omni_names():
+        from .models.qwen3omni import QWEN3_OMNI_MODELS
+        return QWEN3_OMNI_MODELS
+
+    def qwen3omni_build(name, device, cache_dir, **kw):
+        from .models.qwen3omni_adapter import Qwen3OmniAdapter
+        return Qwen3OmniAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((qwen3omni_names, qwen3omni_build))
+
     def internvl_names():
         from .models.internvl import INTERNVL_MODELS
         return INTERNVL_MODELS
