@@ -107,6 +107,15 @@ def load_batch(paths, size: int, mean=CLIP_MEAN, std=CLIP_STD,
     for i, p in enumerate(paths):
         if images[i] is None:
             images[i] = image_loader(p)
+    if len(images) > 3:
+        # PIL's resize releases the GIL -> thread-parallel preprocessing
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(images))) as ex:
+            out = list(ex.map(
+                lambda img: clip_preprocess(img, size, mean, std, pad_square),
+                images))
+        return np.stack(out)
     return np.stack([
         clip_preprocess(img, size, mean, std, pad_square) for img in images
     ])

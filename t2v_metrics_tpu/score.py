@@ -81,6 +81,11 @@ class Score:
         """dataset: sequence of {"images"|"videos": [...], "texts": [...]}.
 
         Returns (num_samples, num_media, num_texts) float32.
+
+        TPU path: ``batch_size`` samples are flattened into one batched
+        pairwise adapter call (the reference loops one (image, text) pair
+        at a time, score.py:133-155); adapters without a batched pairwise
+        forward fall back to per-sample matrix calls.
         """
         first = dataset[0]
         media_key = "videos" if "videos" in first else "images"
@@ -90,12 +95,33 @@ class Score:
         out = np.zeros((n, num_media, num_texts), np.float32)
         try:
             from tqdm import tqdm
-            iterator = tqdm(range(n), desc="batch_forward")
+            chunks = tqdm(range(0, n, batch_size), desc="batch_forward")
         except ImportError:  # pragma: no cover
-            iterator = range(n)
-        for idx in iterator:
-            sample = dataset[idx]
-            out[idx] = self.forward(sample[media_key], sample["texts"], **kwargs)
+            chunks = range(0, n, batch_size)
+
+        batched = (hasattr(self.model, "forward")
+                   and getattr(self.model, "video_mode", "direct") == "direct"
+                   or media_key == "images")
+        for lo in chunks:
+            hi = min(lo + batch_size, n)
+            samples = [dataset[i] for i in range(lo, hi)]
+            if batched:
+                pair_media, pair_text = [], []
+                for sample in samples:
+                    media = self._preprocess_media(list(sample[media_key]),
+                                                   kwargs.get("num_frames", 8))
+                    for m in media:
+                        for t in sample["texts"]:
+                            pair_media.append(m)
+                            pair_text.append(t)
+                scores = np.asarray(
+                    self.model.forward(pair_media, pair_text, **kwargs),
+                    np.float32)
+                out[lo:hi] = scores.reshape(hi - lo, num_media, num_texts)
+            else:  # pragma: no cover
+                for i, sample in enumerate(samples):
+                    out[lo + i] = self.forward(sample[media_key],
+                                               sample["texts"], **kwargs)
         return out
 
 
