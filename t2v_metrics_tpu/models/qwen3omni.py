@@ -98,20 +98,29 @@ def resolve_config(name: str) -> Qwen3OmniConfig:
 
 
 def splice_and_score(params: Params, cfg: Qwen3OmniConfig,
-                     ids, audio_feats, audio_mask, audio_slot,
+                     ids, splice_feats, splice_mask, splice_slot,
                      position_ids, attn_mask, ans_ids, ans_pos, ans_mask,
-                     vis_feats=None, vis_mask=None, vis_slot=None,
+                     deepstack_feats=None, vis_mask=None,
                      temperature: float = 1.0) -> jnp.ndarray:
-    """Teacher-forced mean log P(answer) with audio (and optional vision)
-    features spliced into the embedding stream."""
+    """Teacher-forced mean log P(answer).
+
+    splice_feats holds the concatenated (vision + audio) feature rows per
+    sequence; deepstack_feats (n_ds, B, T, D), aligned with splice slots,
+    adds the vision deepstack residuals at the VISION positions only
+    (vis_mask) — audio rows in those levels must be zero.
+    """
     tok = params["decoder"]["embed"][ids]
-    aud = jnp.take_along_axis(audio_feats, audio_slot[..., None], axis=1)
-    embeds = jnp.where(audio_mask[..., None], aud.astype(tok.dtype), tok)
-    if vis_feats is not None:
-        vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1)
-        embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), embeds)
+    spl = jnp.take_along_axis(splice_feats, splice_slot[..., None], axis=1)
+    embeds = jnp.where(splice_mask[..., None], spl.astype(tok.dtype), tok)
+    ds_list = None
+    if deepstack_feats is not None:
+        ds_list = []
+        for level in range(deepstack_feats.shape[0]):
+            d = jnp.take_along_axis(deepstack_feats[level],
+                                    splice_slot[..., None], axis=1)
+            ds_list.append(jnp.where(vis_mask[..., None], d, 0.0))
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
-                            attn_mask)
+                            attn_mask, deepstack=ds_list)
     logp = jax.nn.log_softmax(logits / temperature, axis=-1)
     sel = jnp.take_along_axis(logp, ans_pos[..., None, None].squeeze(-1), axis=1)
     tok_logp = jnp.take_along_axis(sel, ans_ids[..., None], axis=-1)[..., 0]

@@ -103,8 +103,9 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
                             pe_w, pe_perm, seg, grid_t=grid_t),
             static_argnames=("grid_t",))
         self._score_jit = jax.jit(
-            lambda p, *a, temperature: qo.splice_and_score(
-                p, cfg, *a, temperature=temperature),
+            lambda p, *a, deepstack_feats, vis_mask, temperature:
+            qo.splice_and_score(p, cfg, *a, deepstack_feats=deepstack_feats,
+                                vis_mask=vis_mask, temperature=temperature),
             static_argnames=("temperature",))
 
     def _load_from_hf(self, repo, cfg, dtype):
@@ -151,11 +152,12 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         pos_hw = q3.vision_geometry(grid, cfg.vision)
         pe_idx, pe_w, pe_perm = q3.pos_embed_interp(grid, cfg.vision)
         seg = np.zeros(patches.shape[0], np.int32)
-        feats, _ds = self._vision_jit(
+        feats, ds = self._vision_jit(
             self.params, jnp.asarray(patches), jnp.asarray(pos_hw),
             jnp.asarray(pe_idx), jnp.asarray(pe_w), jnp.asarray(pe_perm),
             jnp.asarray(seg), grid_t=int(grid[0]))
-        return np.asarray(feats, np.float32), grid, is_video
+        return (np.asarray(feats, np.float32),
+                [np.asarray(d, np.float32) for d in ds], grid, is_video)
 
     def forward(self, images, texts, audio_paths=None, fps=None,
                 question_template: str = 'Does this figure show "{}"? Please answer Yes or No.',
@@ -172,20 +174,19 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
                                                  questions, answers):
             feats_list, ids = [], []
             ids += self._encode_text(_CHAT_PRE := "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n")
-            content_mask = []
             if path is not None:
-                vfeats, grid, is_video = self._encode_image_feats(path)
+                vfeats, vds, grid, is_video = self._encode_image_feats(path)
                 n_vis = vfeats.shape[0]
                 tok = cfg.video_token_id if is_video else cfg.image_token_id
                 ids += [cfg.vision_start_token_id] + [tok] * n_vis \
                     + [cfg.vision_end_token_id]
-                feats_list.append((tok, vfeats, grid, is_video))
+                feats_list.append((tok, vfeats, vds, grid, is_video))
             if audio is not None:
                 afeats = self._encode_audio(audio)
                 ids += [cfg.audio_start_token_id] \
                     + [cfg.audio_token_id] * afeats.shape[0] \
                     + [cfg.audio_end_token_id]
-                feats_list.append((cfg.audio_token_id, afeats, None, False))
+                feats_list.append((cfg.audio_token_id, afeats, None, None, False))
             ids += self._encode_text(f"{question}<|im_end|>\n<|im_start|>assistant\n")
             ans = self._encode_text(answer)
             per_pair.append((ids, ans, feats_list))
@@ -193,10 +194,12 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         p = len(per_pair)
         s = _bucket(max(len(i) + len(a) for i, a, _ in per_pair), SEQ_BUCKETS)
         d = cfg.text.d_model
-        t_max = max(sum(f.shape[0] for _, f, _, _ in fl) or 1
+        n_ds = len(cfg.vision.deepstack_indexes)
+        t_max = max(sum(f.shape[0] for _, f, _, _, _ in fl) or 1
                     for _, _, fl in per_pair)
         ids_arr = np.zeros((p, s), np.int64)
         splice_mask = np.zeros((p, s), bool)
+        vis_mask = np.zeros((p, s), bool)
         splice_slot = np.zeros((p, s), np.int64)
         attn = np.zeros((p, s), bool)
         pos = np.zeros((3, p, s), np.int64)
@@ -205,6 +208,7 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         ans_pos = np.zeros((p, a_max), np.int64)
         ans_mask = np.zeros((p, a_max), np.float32)
         feats = np.zeros((p, t_max, d), np.float32)
+        deepstack = np.zeros((n_ds, p, t_max, d), np.float32)
 
         for j, (ids, ans, feats_list) in enumerate(per_pair):
             n = len(ids)
@@ -213,12 +217,16 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
             ids_arr[j, n:n + len(ans)] = ans
             attn[j, :n + len(ans)] = True
             row = 0
-            grids = [g for _, _, g, _ in feats_list if g is not None]
+            grids = [g for _, _, _, g, _ in feats_list if g is not None]
             spgs = [1.0] * len(grids)
-            for tok, f, _, _ in feats_list:
+            for tok, f, ds, _, _ in feats_list:
                 mask = ids_arr[j] == tok
                 mask[n:] = False
                 splice_mask[j] |= mask
+                if ds is not None:  # vision rows carry deepstack levels
+                    vis_mask[j] |= mask
+                    for lvl, dsf in enumerate(ds):
+                        deepstack[lvl, j, row:row + f.shape[0]] = dsf
                 splice_slot[j][mask] = row + np.arange(mask.sum())
                 feats[j, row:row + f.shape[0]] = f
                 row += f.shape[0]
@@ -242,6 +250,8 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
             jnp.asarray(splice_mask), jnp.asarray(splice_slot),
             jnp.asarray(pos), jnp.asarray(attn), jnp.asarray(ans_ids),
             jnp.asarray(ans_pos), jnp.asarray(ans_mask),
+            deepstack_feats=jnp.asarray(deepstack),
+            vis_mask=jnp.asarray(vis_mask),
             temperature=float(temperature))
         return np.exp(np.asarray(logp, np.float32))
 

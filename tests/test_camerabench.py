@@ -139,3 +139,30 @@ class TestCaptionMetrics:
                             choices=[types.SimpleNamespace(message=msg)])
 
         assert ce.gpt4o_judge("a", "b", client=C()) == 0.85
+
+
+def test_caption_generation_end_to_end(tmp_path):
+    """caption_generation with the tiny Qwen model over a synthetic video."""
+    import json
+    import cv2
+    from t2v_metrics_tpu.camerabench import caption_generation as cg
+
+    rng = np.random.default_rng(3)
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    vw = cv2.VideoWriter(str(vids / "v.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    for _ in range(10):
+        vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    vw.release()
+
+    assert cg.parse_model_spec("m:ckpt") == ("m", "ckpt")
+    assert cg.parse_model_spec("m") == ("m", None)
+
+    samples = [{"video": "v.mp4", "caption": "a moving blob"},
+               {"video": "missing.mp4", "caption": "x"}]
+    results = cg.generate_captions(samples, "qwen2.5-vl-test", str(vids),
+                                   max_new_tokens=4)
+    assert results[0]["error"] is None
+    assert isinstance(results[0]["generated_caption"], str)
+    assert results[1]["error"] is not None
