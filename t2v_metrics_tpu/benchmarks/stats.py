@@ -23,8 +23,19 @@ import numpy as np
 
 
 def calc_pearson(metric1_scores, metric2_scores) -> float:
-    """Pearson correlation ×100 (reference dataset.py:14-16)."""
-    return 100 * np.corrcoef(metric1_scores, metric2_scores)[0, 1]
+    """Pearson correlation ×100 (reference dataset.py:14-16).
+
+    Constant input has undefined correlation; return nan without the
+    numpy RuntimeWarning the reference emits.
+    """
+    a = np.asarray(metric1_scores, np.float64)
+    b = np.asarray(metric2_scores, np.float64)
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = np.sqrt((a * a).sum() * (b * b).sum())
+    if denom == 0.0:
+        return float("nan")
+    return float(100 * (a * b).sum() / denom)
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +278,8 @@ def calc_metric(gold_scores, metric_scores,
     if variant in ("tau_b", "tau_c"):
         taus = [kendall_variants(g, m, variant=variant[-1])[0]
                 for g, m in zip(gold, metric)]
-        return float(np.nanmean(taus))
+        valid = [t for t in taus if not np.isnan(t)]
+        return float(np.mean(valid)) if valid else float("nan")
     raise ValueError(f"unknown variant {variant!r}")
 
 

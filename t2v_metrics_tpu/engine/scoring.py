@@ -246,6 +246,19 @@ class CLIPEngine:
 
     def forward_pairwise(self, images, texts, **_) -> np.ndarray:
         assert len(images) == len(texts)
-        # Pairwise = diagonal of the matrix over unique images/texts.
-        scores = self.score_matrix(images, texts)
-        return np.diagonal(scores).copy()
+        # Deduplicate so batch_forward-flattened [img]*N batches encode each
+        # repeated image/text once (mirrors CLIPT5Engine.forward_pairwise).
+        def dedupe(items):
+            uniq, inv, seen = [], [], {}
+            for it in items:
+                key = it if isinstance(it, (str, bytes)) else id(it)
+                if key not in seen:
+                    seen[key] = len(uniq)
+                    uniq.append(it)
+                inv.append(seen[key])
+            return uniq, np.asarray(inv)
+
+        uimg, iinv = dedupe(images)
+        utxt, tinv = dedupe(texts)
+        scores = self.score_matrix(uimg, utxt)
+        return scores[iinv, tinv].copy()
