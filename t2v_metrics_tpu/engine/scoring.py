@@ -21,6 +21,7 @@ from ..constants import DEFAULT_QUESTION_TEMPLATE, DEFAULT_ANSWER_TEMPLATE, IMAG
 from ..media.images import load_batch
 from ..models import clip_flant5 as cft5
 from ..models import clip as jclip
+from ..models import t5 as jt5
 from ..tokenization import splice_image_tokens_t5
 from ..parallel import mesh as pmesh
 
@@ -69,6 +70,16 @@ class CLIPT5Engine:
             cft5.first_token_distribution(params, cfg, feats, ids, img_mask,
                                           img_slot, enc_mask, pair_image,
                                           pair_text))
+        self._encode_hidden = jax.jit(
+            lambda params, feats, ids, img_mask, img_slot, enc_mask,
+                   pair_image, pair_text:
+            jt5.encode(params["t5"], cfg.t5,
+                       cft5._pair_embeds(params, feats, ids, img_mask,
+                                         img_slot, pair_image, pair_text),
+                       enc_mask[pair_text]))
+        self._decode_logits = jax.jit(
+            lambda params, dec_ids, enc_hidden, enc_mask:
+            jt5.decode(params["t5"], cfg.t5, dec_ids, enc_hidden, enc_mask))
 
     # -- host-side assembly -------------------------------------------------
 
@@ -202,6 +213,49 @@ class CLIPT5Engine:
                            pair_image=jnp.asarray(pair_image),
                            pair_text=jnp.asarray(pair_text))
         return np.exp(np.asarray(logp, np.float32)[:n])
+
+
+    def generate(self, images, texts, max_new_tokens: int = 128,
+                 **_) -> list[str]:
+        """Greedy T5 decode conditioned on the image (the v3.0 CLIP-FlanT5
+        LLaVA-style generate). Encoder runs once per sample; the decoder is
+        re-run teacher-forced over the growing (bucket-padded) output —
+        O(L^2) but compile-stable, fine for short continuations.
+        """
+        assert len(images) == len(texts)
+        cfg = self.cfg
+        eos = getattr(self.tokenizer, "eos_token_id", 1)
+        outs = []
+        for image, text in zip(images, texts):
+            q = cft5.format_question(text, cfg.conversation)
+            feats = self.encode_images([image])
+            arrays = self._build_text_arrays([q], [""])
+            ids, img_mask, img_slot, enc_mask = (jnp.asarray(a)
+                                                 for a in arrays[:4])
+            one = jnp.zeros((1,), jnp.int32)
+            enc_hidden = self._encode_hidden(
+                self.params, feats, ids, img_mask, img_slot, enc_mask,
+                one, one)
+            emask = jnp.asarray(arrays[3])
+
+            gen = []
+            start = cfg.t5.decoder_start_token_id
+            while len(gen) < max_new_tokens:
+                a = _bucket(len(gen) + 1, ANS_BUCKETS)
+                dec = np.full((1, a), start, np.int32)
+                dec[0, 1:len(gen) + 1] = gen
+                logits = self._decode_logits(self.params, jnp.asarray(dec),
+                                             enc_hidden, emask)
+                nxt = int(jnp.argmax(logits[0, len(gen)]))
+                if nxt == eos:
+                    break
+                gen.append(nxt)
+            try:
+                outs.append(self.tokenizer.decode(
+                    gen, skip_special_tokens=True).strip())
+            except TypeError:
+                outs.append(self.tokenizer.decode(gen).strip())
+        return outs
 
 
 class CLIPEngine:

@@ -166,12 +166,26 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
         # cache_pos+s); causal structure is expressed as an additive bias
         # against absolute cache positions (works for both multi-token
         # prefill and single-token steps), combined with the validity mask.
+        # local_window masks cache slots older than the sliding window, and
+        # bidir_ids here is the CACHE-ALIGNED (B, max_len) image-group array
+        # (-1 for text): same-group slots attend bidirectionally, overriding
+        # both causality and the window (HF Gemma3 or-mask semantics).
         max_len = k_full.shape[2]
         rows = cache_pos + jnp.arange(s)
         cols = jnp.arange(max_len)
         keep = cols[None, :] <= rows[:, None]            # (s, max_len)
+        if local_window is not None:
+            keep = keep & (cols[None, :] > rows[:, None] - local_window)
+        if bidir_ids is not None:
+            row_b = jax.lax.dynamic_slice_in_dim(bidir_ids, cache_pos, s,
+                                                 axis=1)  # (B, s)
+            same = ((row_b[:, :, None] == bidir_ids[:, None, :])
+                    & (row_b[:, :, None] >= 0))           # (B, s, max_len)
+            keep = keep[None] | same
         if mask is not None:
-            keep = keep[None] & mask[:, None, :]          # (B, s, max_len)
+            keep = (keep if keep.ndim == 3 else keep[None]) & mask[:, None, :]
+            bias = jnp.where(keep, 0.0, -1e30)[:, None]
+        elif keep.ndim == 3:
             bias = jnp.where(keep, 0.0, -1e30)[:, None]
         else:
             bias = jnp.where(keep, 0.0, -1e30)[None, None]
@@ -226,8 +240,10 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
     Without cache: full causal self-attention (teacher-forced scoring).
     With cache: appends this chunk's k/v at cache_pos; attn_mask must be the
     (B, max_len) validity mask of the cache after insertion.
-    bidir_ids: optional (B, S) image-block overlay (Gemma3), see
-    ops.attention.
+    bidir_ids: optional image-group overlay (Gemma3 image blocks /
+    PaliGemma prefix): positions sharing a non-negative group id attend
+    each other bidirectionally. Shape (B, S) without cache; with cache it
+    must be the CACHE-ALIGNED (B, max_len) array (generated slots = -1).
     deepstack: optional list of (B, S, D) residuals added to the hidden
     state after layers 0..len-1 (Qwen3-VL deepstack visual features,
     already scattered to visual positions, zero elsewhere).

@@ -119,18 +119,30 @@ def image_features(params: Params, cfg: Gemma3Config,
     return x @ params["projector"]["proj"]
 
 
+def image_group_ids(vis_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, S) bool image-token mask -> (B, S) per-contiguous-block group
+    ids, -1 on text. HF Gemma3 restricts bidirectional attention to the
+    SAME image block (modeling_gemma3 token_type_ids_mask_function:
+    image_group_ids = cumsum(new_image_start) - 1)."""
+    m = vis_mask.astype(jnp.int32)
+    prev = jnp.pad(m, ((0, 0), (1, 0)))[:, :-1]
+    starts = m * (1 - prev)
+    gid = jnp.cumsum(starts, axis=1) - 1
+    return jnp.where(vis_mask, gid, -1)
+
+
 def splice_and_score(params: Params, cfg: Gemma3Config,
                      ids, vis_feats, vis_mask, vis_slot, position_ids,
                      attn_mask, ans_ids, ans_pos, ans_mask,
                      temperature: float = 1.0) -> jnp.ndarray:
-    """Teacher-forced mean log P(answer tokens); image blocks attend
-    bidirectionally (bidir_ids from vis_mask)."""
+    """Teacher-forced mean log P(answer tokens); each image block attends
+    bidirectionally within itself (per-block group ids from vis_mask)."""
     embed = params["decoder"]["embed"]
     scale = jnp.asarray(cfg.text.d_model ** 0.5, embed.dtype)  # bf16-rounded
     tok = embed[ids] * scale
     vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1)
     embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
-    bidir = jnp.where(vis_mask, 0, -1)
+    bidir = image_group_ids(vis_mask)
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
                             attn_mask, bidir_ids=bidir)
     logp = jax.nn.log_softmax(logits / temperature, axis=-1)

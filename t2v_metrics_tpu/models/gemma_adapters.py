@@ -19,6 +19,7 @@ from ..constants import VIDEO_EXTENSIONS, SIGLIP_MEAN, SIGLIP_STD
 from ..media.images import image_loader
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
 from .adapters import VQAScoreModel, _default_dtype
+from .generation import CachedLM, decode_text
 from . import gemma3 as g3
 from . import paligemma as pg
 
@@ -60,6 +61,31 @@ class _GemmaBase(VQAScoreModel):
 
     def _encode_text(self, text):
         return self.tokenizer.encode(text, add_special_tokens=False)
+
+    def _eos_ids(self):
+        ids = set()
+        t = getattr(self.tokenizer, "eos_token_id", None)
+        if t is not None:
+            ids.add(int(t))
+        conv = getattr(self.tokenizer, "convert_tokens_to_ids", None)
+        if conv is not None:
+            for tok in ("<end_of_turn>",):
+                try:
+                    i = conv(tok)
+                except Exception:
+                    continue
+                if isinstance(i, int) and i >= 0:
+                    ids.add(i)
+        return ids
+
+    @staticmethod
+    def _group_ids_np(vis_mask: np.ndarray) -> np.ndarray:
+        """(S,) bool -> per-contiguous-block group ids, -1 on text
+        (host mirror of gemma3.image_group_ids)."""
+        m = vis_mask.astype(np.int32)
+        starts = m * (1 - np.concatenate([[0], m[:-1]]))
+        gid = np.cumsum(starts) - 1
+        return np.where(vis_mask, gid, -1).astype(np.int32)
 
     def _extract_frames(self, video_path, num_frames=10):
         """(timestamp, rgb frame) pairs, linspace indices
@@ -129,6 +155,26 @@ class Gemma3Adapter(_GemmaBase):
                 + [cfg.image_token_id] * cfg.mm_tokens_per_image
                 + [cfg.eoi_token_id])
 
+    def _assemble(self, path, question, num_frames=10):
+        """Prompt ids + pixel stack for one (visual, question) pair
+        (reference gemma3_model.py:100-128 interleaved frame content)."""
+        cfg = self.config
+        pixels, ids = [], []
+        ids += self._encode_text("<start_of_turn>user\n")
+        is_video = isinstance(path, str) and path.lower().endswith(VIDEO_EXTENSIONS)
+        if is_video:
+            for ts, frame in self._extract_frames(path, num_frames):
+                ids += self._encode_text(f"Frame at {ts}s:")
+                ids += self._image_block_ids()
+                pixels.append(_siglip_preprocess(frame, cfg.vision.image_size))
+        else:
+            ids += self._image_block_ids()
+            pixels.append(_siglip_preprocess(image_loader(path),
+                                             cfg.vision.image_size))
+        ids += self._encode_text(question + "<end_of_turn>\n"
+                                 "<start_of_turn>model\n")
+        return ids, np.stack(pixels)
+
     def forward(self, images, texts, num_frames: int = 10,
                 question_template: str = DEFAULT_QUESTION,
                 answer_template: str = DEFAULT_ANSWER,
@@ -140,22 +186,9 @@ class Gemma3Adapter(_GemmaBase):
 
         per_pair = []
         for path, question, answer in zip(images, questions, answers):
-            pixels, ids = [], []
-            ids += self._encode_text("<start_of_turn>user\n")
-            is_video = isinstance(path, str) and path.lower().endswith(VIDEO_EXTENSIONS)
-            if is_video:
-                for ts, frame in self._extract_frames(path, num_frames):
-                    ids += self._encode_text(f"Frame at {ts}s:")
-                    ids += self._image_block_ids()
-                    pixels.append(_siglip_preprocess(frame, cfg.vision.image_size))
-            else:
-                ids += self._image_block_ids()
-                pixels.append(_siglip_preprocess(image_loader(path),
-                                                 cfg.vision.image_size))
-            ids += self._encode_text(question + "<end_of_turn>\n"
-                                     "<start_of_turn>model\n")
+            ids, pixels = self._assemble(path, question, num_frames)
             ans = self._encode_text(answer)
-            per_pair.append((ids, ans, np.stack(pixels)))
+            per_pair.append((ids, ans, pixels))
 
         p = len(per_pair)
         s = _bucket(max(len(i) + len(a) for i, a, _ in per_pair))
@@ -200,6 +233,49 @@ class Gemma3Adapter(_GemmaBase):
         m, n = len(images), len(texts)
         flat_imgs = [im for im in images for _ in range(n)]
         return self.forward(flat_imgs, list(texts) * m, **kw).reshape(m, n)
+
+    def generate(self, images, texts, num_frames: int = 10, fps=None,
+                 max_new_tokens: int = 1024, temperature: float = 0.0,
+                 do_sample=None, top_p: float = 0.9, **kw) -> list[str]:
+        """Free-form continuation (reference gemma3_model.py:244-286).
+        Greedy KV-cached decode; sampling kwargs accepted for API compat."""
+        assert len(images) == len(texts)
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text, embed_scale=cfg.text.d_model ** 0.5)
+        eos = self._eos_ids()
+        outs = []
+        for path, text in zip(images, texts):
+            ids, px = self._assemble(path, text, num_frames)
+            f = self._vision_jit(self.params, jnp.asarray(px))
+            f = np.asarray(f, np.float32).reshape(-1, cfg.text.d_model)
+            n = len(ids)
+            s = _bucket(n)
+            ids_arr = np.zeros((1, s), np.int64)
+            ids_arr[0, :n] = ids
+            vis_mask = ids_arr == cfg.image_token_id
+            vis_mask[0, n:] = False
+            vis_slot = np.zeros((1, s), np.int64)
+            vis_slot[vis_mask] = np.arange(vis_mask.sum())
+            feats = np.zeros((1, max(f.shape[0], 1), cfg.text.d_model),
+                             np.float32)
+            feats[0, : f.shape[0]] = f
+
+            embed = self.params["decoder"]["embed"]
+            scale = jnp.asarray(cfg.text.d_model ** 0.5, embed.dtype)
+            tok = embed[jnp.asarray(ids_arr)] * scale
+            vis = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                      jnp.asarray(vis_slot)[..., None], axis=1)
+            embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+
+            bidir_full = np.full((1, s + max_new_tokens), -1, np.int32)
+            bidir_full[0, :s] = self._group_ids_np(vis_mask[0])
+            pos = np.broadcast_to(np.arange(s)[None], (1, s)).copy()
+            gen, _ = self._lm.greedy(self.params["decoder"], embeds, pos, n,
+                                     max_new_tokens, eos_ids=eos,
+                                     bidir_full=bidir_full)
+            outs.append(decode_text(self.tokenizer, gen, eos))
+        return outs
 
 
 class PaliGemmaAdapter(_GemmaBase):
@@ -296,3 +372,53 @@ class PaliGemmaAdapter(_GemmaBase):
         m, n = len(images), len(texts)
         flat_imgs = [im for im in images for _ in range(n)]
         return self.forward(flat_imgs, list(texts) * m, **kw).reshape(m, n)
+
+    def generate(self, images, texts, max_new_tokens: int = 2048,
+                 **kw) -> list[str]:
+        """Free-form generation (reference paligemma_model.py:117-139).
+
+        Image+prompt tokens form the bidirectional prefix; generated
+        tokens are causal. The reference decodes the WHOLE output ids
+        (prompt included, specials skipped), so the returned string starts
+        with the prompt text - matched here.
+        """
+        assert len(images) == len(texts)
+        cfg = self.config
+        n_vis = cfg.num_image_tokens
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text, embed_scale=cfg.text.d_model ** 0.5)
+        eos = {getattr(self.tokenizer, "eos_token_id", None)} - {None}
+        outs = []
+        for path, text in zip(images, texts):
+            px = _siglip_preprocess(image_loader(path), cfg.vision.image_size)
+            text_ids = self._encode_text(text + "\n")
+            ids = [cfg.image_token_id] * n_vis + [cfg.bos_token_id] + text_ids
+            n = len(ids)
+            s = _bucket(n)
+            ids_arr = np.zeros((1, s), np.int64)
+            ids_arr[0, :n] = ids
+            vis_mask = np.zeros((1, s), bool)
+            vis_mask[0, :n_vis] = True
+            vis_slot = np.zeros((1, s), np.int64)
+            vis_slot[0, :n_vis] = np.arange(n_vis)
+
+            feats = self._vision_jit(self.params, jnp.asarray(px[None]))
+            embed = self.params["decoder"]["embed"]
+            scale = jnp.asarray(cfg.text.d_model ** 0.5, embed.dtype)
+            tok = embed[jnp.asarray(ids_arr)] * scale
+            fpad = jnp.zeros((1, max(s - n_vis, 0), feats.shape[-1]),
+                             feats.dtype)
+            vis = jnp.concatenate([feats, fpad], axis=1)
+            vis = jnp.take_along_axis(vis.astype(embed.dtype),
+                                      jnp.asarray(vis_slot)[..., None], axis=1)
+            embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+
+            # prefix-LM: the whole prompt is one bidirectional group
+            bidir_full = np.full((1, s + max_new_tokens), -1, np.int32)
+            bidir_full[0, :n] = 0
+            pos = np.broadcast_to(np.arange(s)[None], (1, s)).copy()
+            gen, _ = self._lm.greedy(self.params["decoder"], embeds, pos, n,
+                                     max_new_tokens, eos_ids=eos,
+                                     bidir_full=bidir_full)
+            outs.append(decode_text(self.tokenizer, text_ids + gen, eos))
+        return outs

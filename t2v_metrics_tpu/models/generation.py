@@ -1,0 +1,118 @@
+"""Shared KV-cached greedy generation over the common decoder stack.
+
+Every local reference adapter exposes ``generate()`` (reference
+gemma3_model.py:244-286, paligemma_model.py:117-139,
+internvl_model.py:438-481, qwen3omni_model.py:483-548 — all delegate to HF
+``model.generate``).  The TPU-native equivalent is one engine over
+``models/decoder.forward``'s cache path:
+
+  * one bucketed prefill writes the prompt's k/v into a static-size cache
+    (deepstack residuals and bidirectional image-group overlays supported,
+    so Gemma3/PaliGemma prefix-LM and Qwen3-Omni prompts prefill exactly);
+  * each step is a single-token decode against absolute cache positions
+    (sliding-window layers mask old slots; new tokens are causal).
+
+Greedy only (reference smoke tests run do_sample=False); sampling kwargs
+are accepted by the adapters for API compatibility.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import decoder as dec
+
+
+class CachedLM:
+    """Jitted prefill/step pair for one DecoderConfig.
+
+    embed_scale: multiplier applied to token embeddings (Gemma's sqrt(d),
+    bf16-rounded by using the embed dtype). Vision/audio features are
+    spliced by the caller into the prefill embeds.
+    """
+
+    def __init__(self, cfg: dec.DecoderConfig, embed_scale: float | None = None):
+        self.cfg = cfg
+        self.embed_scale = embed_scale
+
+        def fwd(p, embeds, pos, valid, cache, cpos, bidir, deepstack):
+            return dec.forward(p, cfg, embeds, pos, valid, cache=cache,
+                               cache_pos=cpos, bidir_ids=bidir,
+                               deepstack=deepstack)
+
+        self._fwd = jax.jit(fwd)
+
+    def _embed_token(self, params_dec, tok: int) -> jnp.ndarray:
+        emb = params_dec["embed"][tok][None, None]
+        if self.embed_scale is not None:
+            emb = emb * jnp.asarray(self.embed_scale, emb.dtype)
+        return emb
+
+    def greedy(self, params_dec, embeds, pos, n_prompt: int,
+               max_new_tokens: int, eos_ids=(), temperature: float = 1.0,
+               bidir_full=None, deepstack=None):
+        """Generate up to max_new_tokens greedily.
+
+        embeds: (1, S, D) prefill embeddings (S >= n_prompt, padded ok);
+        pos: (1, S) int positions or (3, 1, S) M-RoPE streams;
+        bidir_full: optional (1, S + max_new_tokens) cache-aligned group ids
+        (-1 on text/generated slots);
+        deepstack: optional list of (1, S, D) residuals (prefill only).
+
+        Returns (generated ids, list of fp32 softmax dists per step).
+        """
+        s = embeds.shape[1]
+        max_len = s + max_new_tokens
+        cache = dec.init_cache(self.cfg, 1, max_len, dtype=embeds.dtype)
+        valid = np.zeros((1, max_len), bool)
+        valid[0, :n_prompt] = True
+
+        bidir = None
+        if bidir_full is not None:
+            bidir = jnp.asarray(np.asarray(bidir_full, np.int32))
+            assert bidir.shape == (1, max_len), \
+                f"bidir_full must be cache-aligned (1, {max_len})"
+
+        pos_np = np.asarray(pos)
+        if pos_np.ndim == 2:
+            last_pos = int(pos_np[0, n_prompt - 1])
+            mk_pos = lambda v: jnp.full((1, 1), v, jnp.int32)
+        else:
+            last_pos = int(pos_np[:, 0, n_prompt - 1].max())
+            mk_pos = lambda v: jnp.full((3, 1, 1), v, jnp.int32)
+
+        logits, cache = self._fwd(params_dec, jnp.asarray(embeds),
+                                  jnp.asarray(pos), jnp.asarray(valid),
+                                  cache, 0, bidir, deepstack)
+        t = max(float(temperature), 1e-6)
+        dist = jax.nn.softmax(logits[0, n_prompt - 1] / t)
+
+        eos_ids = {e for e in eos_ids if e is not None}
+        gen, dists = [], []
+        for step in range(max_new_tokens):
+            dists.append(np.asarray(dist, np.float32))
+            nxt = int(np.argmax(dists[-1]))
+            gen.append(nxt)
+            if nxt in eos_ids or step == max_new_tokens - 1:
+                break
+            cpos = s + step
+            valid[0, cpos] = True
+            emb1 = self._embed_token(params_dec, nxt)
+            logits, cache = self._fwd(params_dec, emb1,
+                                      mk_pos(last_pos + 1 + step),
+                                      jnp.asarray(valid), cache, cpos,
+                                      bidir, None)
+            dist = jax.nn.softmax(logits[0, 0] / t)
+        return gen, dists
+
+
+def decode_text(tokenizer, ids, eos_ids=()) -> str:
+    """Decode generated ids, stripping eos/special tokens like the
+    reference's skip_special_tokens=True decode."""
+    ids = [i for i in ids if i not in set(e for e in eos_ids if e is not None)]
+    try:
+        return tokenizer.decode(ids, skip_special_tokens=True).strip()
+    except TypeError:
+        return tokenizer.decode(ids).strip()

@@ -20,6 +20,7 @@ from ..media.images import image_loader
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
 from .adapters import VQAScoreModel, _default_dtype
 from .fastchat_utils import get_conv_template
+from .generation import CachedLM, decode_text
 from . import internvl as ivl
 
 
@@ -167,3 +168,92 @@ class InternVLAdapter(VQAScoreModel):
         m, n = len(images), len(texts)
         flat_imgs = [im for im in images for _ in range(n)]
         return self.forward(flat_imgs, list(texts) * m, **kw).reshape(m, n)
+
+    # ------------------------------------------------------------------
+    # generation (reference internvl_model.py:438-481)
+    # ------------------------------------------------------------------
+
+    def _eos_ids(self):
+        """Conversation separator is the generation stop (reference
+        internvl_model.py:356-360: eos = convert_tokens_to_ids(sep))."""
+        ids = set()
+        t = getattr(self.tokenizer, "eos_token_id", None)
+        if t is not None:
+            ids.add(int(t))
+        conv = get_conv_template(self.conversation_template)
+        c2i = getattr(self.tokenizer, "convert_tokens_to_ids", None)
+        if c2i is not None and conv.sep:
+            try:
+                i = c2i(conv.sep)
+                if isinstance(i, int) and i >= 0:
+                    ids.add(i)
+            except Exception:
+                pass
+        return ids
+
+    def _build_ids_multi(self, prompt: str, tiles_per_block: list[int]):
+        """Conversation prompt with one <image> placeholder per block, each
+        expanded to <img> + <IMG_CONTEXT>*tokens_per_tile*tiles + </img>
+        (reference _build_inputs, internvl_model.py:344-377)."""
+        cfg = self.config
+        conv = get_conv_template(self.conversation_template)
+        conv.append_message(conv.roles[0], prompt)
+        conv.append_message(conv.roles[1], None)
+        query = conv.get_prompt()
+        chunks = query.split("<image>")
+        assert len(chunks) == len(tiles_per_block) + 1
+        ids = self._encode_text(chunks[0])
+        for chunk, tiles in zip(chunks[1:], tiles_per_block):
+            ids += self._encode_text(cfg.img_start_token)
+            ids += [cfg.image_token_id] * (cfg.tokens_per_tile * tiles)
+            ids += self._encode_text(cfg.img_end_token + chunk)
+        return ids
+
+    def generate(self, images, texts, num_frames: int = 16,
+                 max_new_tokens: int = 1024, do_sample: bool = False,
+                 temperature: float = 0.0, **kw) -> list[str]:
+        """Greedy continuation. Videos become 'Frame{i}: <image>' blocks of
+        one tile each; images a single dynamically-tiled <image>."""
+        assert len(images) == len(texts)
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text)
+        eos = self._eos_ids()
+        outs = []
+        for path, question in zip(images, texts):
+            is_video = isinstance(path, str) and \
+                path.lower().endswith(VIDEO_EXTENSIONS)
+            tiles = self._tiles_for(path, num_frames)
+            if is_video:
+                blocks = [1] * tiles.shape[0]
+                prompt = "".join(f"Frame{i+1}: <image>\n"
+                                 for i in range(len(blocks))) + question
+            else:
+                blocks = [tiles.shape[0]]
+                prompt = "<image>\n" + question
+            ids = self._build_ids_multi(prompt, blocks)
+
+            f = self._vision_jit(self.params, jnp.asarray(tiles))
+            f = np.asarray(f, np.float32).reshape(-1, cfg.text.d_model)
+            n = len(ids)
+            s = max(n, 8)
+            ids_arr = np.zeros((1, s), np.int64)
+            ids_arr[0, :n] = ids
+            vis_mask = ids_arr == cfg.image_token_id
+            vis_mask[0, n:] = False
+            vis_slot = np.zeros((1, s), np.int64)
+            vis_slot[vis_mask] = np.arange(vis_mask.sum())
+            feats = np.zeros((1, max(f.shape[0], 1), cfg.text.d_model),
+                             np.float32)
+            feats[0, : f.shape[0]] = f
+
+            embed = self.params["decoder"]["embed"]
+            tok = embed[jnp.asarray(ids_arr)]
+            vis = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                      jnp.asarray(vis_slot)[..., None], axis=1)
+            embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+            pos = np.broadcast_to(np.arange(s)[None], (1, s)).copy()
+            gen, _ = self._lm.greedy(self.params["decoder"], embeds, pos, n,
+                                     max_new_tokens, eos_ids=eos)
+            outs.append(decode_text(self.tokenizer, gen, eos))
+        return outs

@@ -98,9 +98,9 @@ class Qwen2VLAdapter(VQAScoreModel):
             lambda p, embeds, pos, mask: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask)[0])
         self._prefill_jit = jax.jit(
-            lambda p, embeds, pos, mask, cache: dec.forward(
+            lambda p, embeds, pos, mask, cache, deepstack=None: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask,
-                cache=cache, cache_pos=0))
+                cache=cache, cache_pos=0, deepstack=deepstack))
         self._step_jit = jax.jit(
             lambda p, emb1, pos1, mask, cache, cpos: dec.forward(
                 p["decoder"], cfg.text, emb1, pos1, mask,
@@ -318,13 +318,16 @@ class Qwen2VLAdapter(VQAScoreModel):
     # ------------------------------------------------------------------
 
     def _greedy_steps(self, ids_row, feats, vis_mask, vis_slot, pos_row,
-                      n_prompt, max_new_tokens, temperature=1.0):
+                      n_prompt, max_new_tokens, temperature=1.0,
+                      deepstack=None):
         """KV-cached greedy generation for one sequence.
 
         One bucketed prefill writes the prompt's k/v into a static cache;
         each subsequent step is a single-token decode (cache positions are
         absolute, so causality is expressed against cache indices in the
-        decoder's cached-attention path). Returns (gen_ids, prob_dists).
+        decoder's cached-attention path). deepstack: optional list of
+        (1, S, D) residuals applied during prefill (Qwen3-VL visual
+        deepstack). Returns (gen_ids, prob_dists).
         """
         cfg = self.config
         gen, dists = [], []
@@ -343,7 +346,7 @@ class Qwen2VLAdapter(VQAScoreModel):
 
         logits, cache = self._prefill_jit(
             self.params, embeds, jnp.asarray(pos_row[:, None, :]),
-            jnp.asarray(valid), cache)
+            jnp.asarray(valid), cache, deepstack)
         dist = jax.nn.softmax(logits[0, n_prompt - 1] / temperature)
         last_pos = int(pos_row[:, n_prompt - 1].max())
 
@@ -357,7 +360,7 @@ class Qwen2VLAdapter(VQAScoreModel):
             cpos = s + step
             valid[0, cpos] = True
             emb1 = embed[jnp.asarray([[nxt]])]
-            pos1 = jnp.full((3, 1, 1), last_pos + 1 + step, jnp.int64)
+            pos1 = jnp.full((3, 1, 1), last_pos + 1 + step, jnp.int32)
             logits, cache = self._step_jit(self.params, emb1, pos1,
                                            jnp.asarray(valid), cache,
                                            jnp.asarray(cpos))

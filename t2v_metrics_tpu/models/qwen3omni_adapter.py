@@ -159,6 +159,31 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         return (np.asarray(feats, np.float32),
                 [np.asarray(d, np.float32) for d in ds], grid, is_video)
 
+    def _assemble_content(self, path, audio, question):
+        """Chat-template ids + (token, feats, deepstack, grid, is_video)
+        content blocks for one sample (reference qwen3omni_model.py:85-118
+        content dicts + :150-181 input prep)."""
+        cfg = self.config
+        feats_list, ids = [], []
+        ids += self._encode_text("<|im_start|>system\nYou are a helpful "
+                                 "assistant.<|im_end|>\n<|im_start|>user\n")
+        if path is not None:
+            vfeats, vds, grid, is_video = self._encode_image_feats(path)
+            n_vis = vfeats.shape[0]
+            tok = cfg.video_token_id if is_video else cfg.image_token_id
+            ids += [cfg.vision_start_token_id] + [tok] * n_vis \
+                + [cfg.vision_end_token_id]
+            feats_list.append((tok, vfeats, vds, grid, is_video))
+        if audio is not None:
+            afeats = self._encode_audio(audio)
+            ids += [cfg.audio_start_token_id] \
+                + [cfg.audio_token_id] * afeats.shape[0] \
+                + [cfg.audio_end_token_id]
+            feats_list.append((cfg.audio_token_id, afeats, None, None, False))
+        ids += self._encode_text(f"{question}<|im_end|>\n"
+                                 "<|im_start|>assistant\n")
+        return ids, feats_list
+
     def forward(self, images, texts, audio_paths=None, fps=None,
                 question_template: str = 'Does this figure show "{}"? Please answer Yes or No.',
                 answer_template: str = "Yes", temperature: float = 1.0,
@@ -172,22 +197,7 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         per_pair = []
         for path, audio, question, answer in zip(images, audio_paths,
                                                  questions, answers):
-            feats_list, ids = [], []
-            ids += self._encode_text(_CHAT_PRE := "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n")
-            if path is not None:
-                vfeats, vds, grid, is_video = self._encode_image_feats(path)
-                n_vis = vfeats.shape[0]
-                tok = cfg.video_token_id if is_video else cfg.image_token_id
-                ids += [cfg.vision_start_token_id] + [tok] * n_vis \
-                    + [cfg.vision_end_token_id]
-                feats_list.append((tok, vfeats, vds, grid, is_video))
-            if audio is not None:
-                afeats = self._encode_audio(audio)
-                ids += [cfg.audio_start_token_id] \
-                    + [cfg.audio_token_id] * afeats.shape[0] \
-                    + [cfg.audio_end_token_id]
-                feats_list.append((cfg.audio_token_id, afeats, None, None, False))
-            ids += self._encode_text(f"{question}<|im_end|>\n<|im_start|>assistant\n")
+            ids, feats_list = self._assemble_content(path, audio, question)
             ans = self._encode_text(answer)
             per_pair.append((ids, ans, feats_list))
 
@@ -263,3 +273,96 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
             flat_audio = [a for a in audio_paths for _ in range(n)]
         return self.forward(flat_imgs, list(texts) * m,
                             audio_paths=flat_audio, **kw).reshape(m, n)
+
+    # ------------------------------------------------------------------
+    # generation (reference qwen3omni_model.py:483-548; text only — the
+    # talker/speech stack is not built, return_audio raises)
+    # ------------------------------------------------------------------
+
+    def generate(self, images, texts, audio_paths=None, fps=None,
+                 max_new_tokens: int = 256, return_audio: bool = False,
+                 speaker: str = "Ethan", save_audio_path=None,
+                 **kw) -> list[str]:
+        if return_audio:
+            raise NotImplementedError(
+                "speech output (talker) is not implemented; text only")
+        assert len(images) == len(texts)
+        from .generation import CachedLM, decode_text
+
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text)
+        eos = {self.eos_token_id} - {None}
+        c2i = getattr(self.tokenizer, "convert_tokens_to_ids", None)
+        if c2i is not None:
+            try:
+                i = c2i("<|im_end|>")
+                if isinstance(i, int) and i >= 0:
+                    eos.add(i)
+            except Exception:
+                pass
+        audio_paths = audio_paths or [None] * len(texts)
+
+        outs = []
+        n_ds = len(cfg.vision.deepstack_indexes)
+        for path, audio, text in zip(images, audio_paths, texts):
+            ids, feats_list = self._assemble_content(path, audio, text)
+            n = len(ids)
+            s = _bucket(n, SEQ_BUCKETS)
+            d = cfg.text.d_model
+            t_max = max(sum(f.shape[0] for _, f, _, _, _ in feats_list), 1)
+
+            ids_arr = np.zeros((1, s), np.int64)
+            ids_arr[0, :n] = ids
+            splice_mask = np.zeros((1, s), bool)
+            vis_mask = np.zeros((1, s), bool)
+            splice_slot = np.zeros((1, s), np.int64)
+            feats = np.zeros((1, t_max, d), np.float32)
+            deepstack = np.zeros((n_ds, 1, t_max, d), np.float32)
+            row = 0
+            grids = [g for _, _, _, g, _ in feats_list if g is not None]
+            for tok, f, ds, _, _ in feats_list:
+                mask = ids_arr[0] == tok
+                mask[n:] = False
+                splice_mask[0] |= mask
+                if ds is not None:
+                    vis_mask[0] |= mask
+                    for lvl, dsf in enumerate(ds):
+                        deepstack[lvl, 0, row:row + f.shape[0]] = dsf
+                splice_slot[0][mask] = row + np.arange(mask.sum())
+                feats[0, row:row + f.shape[0]] = f
+                row += f.shape[0]
+
+            rope_cfg = q2.Qwen2VLConfig(
+                vision=q2.QwenVisionConfig(
+                    merge_size=cfg.vision.merge_size, tokens_per_second=1),
+                text=cfg.text, image_token_id=cfg.image_token_id,
+                video_token_id=cfg.video_token_id,
+                vision_start_token_id=cfg.vision_start_token_id)
+            pos = np.zeros((3, 1, s), np.int64)
+            pos[:, 0, :n] = q2.build_rope_index(
+                np.asarray(ids), grids, rope_cfg,
+                second_per_grid_ts=[1.0] * len(grids))
+            last = pos[:, 0, n - 1].max()
+            pos[:, 0, n:] = last  # pads (invalid slots)
+
+            embed = self.params["decoder"]["embed"]
+            tok_emb = embed[jnp.asarray(ids_arr)]
+            spl = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                      jnp.asarray(splice_slot)[..., None],
+                                      axis=1)
+            embeds = jnp.where(jnp.asarray(splice_mask)[..., None], spl,
+                               tok_emb)
+            ds_list = []
+            vm = jnp.asarray(vis_mask)[..., None]
+            for lvl in range(n_ds):
+                dsl = jnp.take_along_axis(
+                    jnp.asarray(deepstack[lvl], embed.dtype),
+                    jnp.asarray(splice_slot)[..., None], axis=1)
+                ds_list.append(jnp.where(vm, dsl, 0.0))
+
+            gen, _ = self._lm.greedy(self.params["decoder"], embeds, pos, n,
+                                     max_new_tokens, eos_ids=eos,
+                                     deepstack=ds_list or None)
+            outs.append(decode_text(self.tokenizer, gen, eos))
+        return outs

@@ -68,9 +68,9 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             lambda p, embeds, pos, mask: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask)[0])
         self._prefill_jit = jax.jit(
-            lambda p, embeds, pos, mask, cache: dec.forward(
+            lambda p, embeds, pos, mask, cache, deepstack=None: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask,
-                cache=cache, cache_pos=0))
+                cache=cache, cache_pos=0, deepstack=deepstack))
         self._step_jit = jax.jit(
             lambda p, emb1, pos1, mask, cache, cpos: dec.forward(
                 p["decoder"], cfg.text, emb1, pos1, mask,
@@ -225,14 +225,23 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
         return np.exp(np.asarray(logp, np.float32))
 
     def _greedy_steps(self, ids_row, feats, vis_mask, vis_slot, pos_row,
-                      n_prompt, max_new_tokens, temperature=1.0):
-        """Greedy steps with deepstack residuals folded into the embeds.
+                      n_prompt, max_new_tokens, temperature=1.0,
+                      deepstack=None):
+        """Greedy steps with the deepstack residuals applied at prefill.
 
         feats here is the stacked (1+n_ds, T, D) array per sequence; the
-        main level drives the splice; deepstack levels are ignored for the
-        logits-only trace path (they only affect early layers — folded in
-        via the full score path; acceptable approximation for generate())."""
+        main level drives the splice; deepstack levels are scattered to
+        the visual positions (zero elsewhere) and added after early
+        decoder layers, exactly as in the scoring path."""
         main = feats[0]
+        vm = jnp.asarray(vis_mask[None])[..., None]
+        slot = jnp.asarray(vis_slot[None])[..., None]
+        ds_list = []
+        for lvl in range(1, feats.shape[0]):
+            d = jnp.take_along_axis(jnp.asarray(feats[lvl][None]), slot,
+                                    axis=1)
+            ds_list.append(jnp.where(vm, d, 0.0))
         return super()._greedy_steps(ids_row, main, vis_mask, vis_slot,
                                      pos_row, n_prompt, max_new_tokens,
-                                     temperature)
+                                     temperature,
+                                     deepstack=ds_list or None)

@@ -76,11 +76,11 @@ def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
             keep = keep & (col - (sk - sq) > row - local_window)
         keep = jnp.broadcast_to(keep[None, None], s.shape)
         if bidir_ids is not None:
+            # HF Gemma3 semantics: the image-block or-mask overrides the
+            # sliding window too (token_type_ids_mask_function is or'd into
+            # both full and sliding masks with no distance constraint).
             same = ((bidir_ids[:, :, None] == bidir_ids[:, None, :])
                     & (bidir_ids[:, :, None] >= 0))
-            if local_window is not None:
-                dist = jnp.abs(jnp.arange(sq)[:, None] - jnp.arange(sk)[None, :])
-                same = same & (dist < local_window)[None]
             keep = keep | same[:, None]
         s = jnp.where(keep, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)

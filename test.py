@@ -99,12 +99,15 @@ def run_model(model_name, **kwargs):
     else:
         print("  SKIP single_video_score (video not supported)")
     check("multi_pair_score", multi_pair_score)
-    if hasattr(adapter, "generate"):
+    # Every local VQA adapter must support generate (reference
+    # test.py:147-174 asserts it for all local models; CLIP/ITM metric
+    # models have no generate in the reference either).
+    if isinstance(scorer, t2v.VQAScore):
         check("generate_from_image", generate_from_image)
         if getattr(adapter, "allows_video", False):
             check("generate_from_video", generate_from_video)
-    else:
-        print("  SKIP generate (not supported)")
+    elif hasattr(adapter, "generate"):
+        check("generate_from_image", generate_from_image)
 
 
 @contextlib.contextmanager
@@ -123,7 +126,7 @@ def main():
     local = os.environ.get(
         "T2V_TEST_MODELS",
         "clip-flant5-test,clipscore-test,qwen2.5-vl-test,qwen3-vl-test,"
-        "gemma-3-test,paligemma-test").split(",")
+        "gemma-3-test,paligemma-test,internvl3-test,qwen3-omni-test").split(",")
     for name in [m.strip() for m in local if m.strip()]:
         run_model(name)
 

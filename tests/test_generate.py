@@ -1,0 +1,123 @@
+"""generate() behavioral coverage for every local family (reference
+test.py:147-174 asserts generate works for all local models).
+
+Tiny random configs — asserts shape/type contracts and KV-cache
+consistency (cached greedy first step == teacher-forced argmax), not
+text quality.
+"""
+
+import numpy as np
+import pytest
+
+import t2v_metrics_tpu as t2v
+
+
+@pytest.fixture(scope="module")
+def image(tmp_path_factory):
+    from PIL import Image
+
+    p = tmp_path_factory.mktemp("assets") / "img.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)).save(p)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    import cv2
+
+    p = str(tmp_path_factory.mktemp("assets") / "vid.mp4")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    rng = np.random.default_rng(1)
+    for _ in range(12):
+        vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    vw.release()
+    return p
+
+
+LOCAL_VQA = [
+    "clip-flant5-test",
+    "qwen2.5-vl-test",
+    "qwen3-vl-test",
+    "gemma-3-test",
+    "paligemma-test",
+    "internvl3-test",
+    "qwen3-omni-test",
+]
+
+
+@pytest.mark.parametrize("name", LOCAL_VQA)
+def test_generate_from_image(name, image):
+    scorer = t2v.VQAScore(model=name)
+    out = scorer.model.generate(images=[image], texts=["Describe this."],
+                                max_new_tokens=4)
+    assert isinstance(out, list) and len(out) == 1
+    assert isinstance(out[0], str)
+
+
+@pytest.mark.parametrize("name", ["gemma-3-test", "internvl3-test",
+                                  "qwen3-omni-test"])
+def test_generate_from_video(name, video):
+    scorer = t2v.VQAScore(model=name)
+    out = scorer.model.generate(images=[video], texts=["Describe this."],
+                                max_new_tokens=3)
+    assert isinstance(out[0], str)
+
+
+def test_gemma3_cached_prefill_matches_teacher_forced(image):
+    """The KV-cached prefill path (sliding windows + per-image-block bidir
+    overlay against cache positions) must produce the same first-token
+    argmax as the teacher-forced scoring path."""
+    import jax.numpy as jnp
+    import jax
+
+    scorer = t2v.VQAScore(model="gemma-3-test")
+    ad = scorer.model
+    cfg = ad.config
+    from t2v_metrics_tpu.models import gemma3 as g3
+
+    ids, px = ad._assemble(image, "Is this a photo?")
+    n = len(ids)
+    s = n  # no padding: teacher-forced comparison on exact length
+    ids_arr = np.zeros((1, s), np.int64)
+    ids_arr[0, :n] = ids
+    vis_mask = ids_arr == cfg.image_token_id
+    vis_slot = np.zeros((1, s), np.int64)
+    vis_slot[vis_mask] = np.arange(vis_mask.sum())
+    f = ad._vision_jit(ad.params, jnp.asarray(px))
+    f = np.asarray(f, np.float32).reshape(1, -1, cfg.text.d_model)
+
+    # teacher-forced full forward logits at the last prompt position
+    embed = ad.params["decoder"]["embed"]
+    scale = jnp.asarray(cfg.text.d_model ** 0.5, embed.dtype)
+    tok = embed[jnp.asarray(ids_arr)] * scale
+    vis = jnp.take_along_axis(jnp.asarray(f, embed.dtype),
+                              jnp.asarray(vis_slot)[..., None], axis=1)
+    embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+    from t2v_metrics_tpu.models import decoder as dec
+
+    bidir = g3.image_group_ids(jnp.asarray(vis_mask))
+    logits_tf, _ = dec.forward(ad.params["decoder"], cfg.text, embeds,
+                               jnp.arange(s)[None],
+                               jnp.ones((1, s), bool), bidir_ids=bidir)
+    tf_top = int(jnp.argmax(logits_tf[0, n - 1]))
+
+    # cached path via generate machinery
+    from t2v_metrics_tpu.models.generation import CachedLM
+
+    lm = CachedLM(cfg.text, embed_scale=cfg.text.d_model ** 0.5)
+    bidir_full = np.full((1, s + 4), -1, np.int32)
+    bidir_full[0, :s] = np.asarray(bidir)[0]
+    gen, dists = lm.greedy(ad.params["decoder"], embeds,
+                           np.arange(s)[None], n, 4, bidir_full=bidir_full)
+    assert gen[0] == tf_top
+    np.testing.assert_allclose(
+        dists[0], np.asarray(jax.nn.softmax(logits_tf[0, n - 1])),
+        rtol=2e-4, atol=2e-5)
+
+
+def test_paligemma_generate_includes_prompt(image):
+    scorer = t2v.VQAScore(model="paligemma-test")
+    out = scorer.model.generate(images=[image], texts=["caption en"],
+                                max_new_tokens=3)
+    assert isinstance(out[0], str)
