@@ -46,6 +46,10 @@ class InternVisionConfig:
     heads: int = 16
     mlp_dim: int = 4096
     ln_eps: float = 1e-6
+    # InternViT-6B options (38b/78b/241b-a28b towers): RMSNorm block norms
+    # and q/k RMS normalization over the flattened projection dim
+    qk_norm: bool = False
+    norm_type: str = "layer"  # "layer" | "rms"
 
     @property
     def grid(self) -> int:
@@ -75,19 +79,79 @@ def _qwen25_text(d_model, layers, heads, kv_heads, d_ff, vocab=151936):
         rope_theta=1_000_000.0, mrope_section=None, qkv_bias=True)
 
 
+def _qwen3_text(d_model, layers, heads, kv_heads, d_ff, vocab=151936,
+                moe=None):
+    """Qwen3 backbone (InternVL3.5): no qkv bias, per-head qk RMSNorm,
+    fixed head_dim 128. moe=(num_experts, top_k, moe_d_ff)."""
+    cfg = dec.DecoderConfig(
+        vocab_size=vocab, d_model=d_model, layers=layers, heads=heads,
+        kv_heads=kv_heads, head_dim=128, d_ff=d_ff,
+        rope_theta=1_000_000.0, mrope_section=None, qkv_bias=False,
+        qk_norm=True)
+    if moe:
+        cfg = dataclasses.replace(cfg, num_experts=moe[0],
+                                  experts_per_tok=moe[1], moe_d_ff=moe[2],
+                                  d_ff=0)
+    return cfg
+
+
+# InternViT-300M (default) / InternViT-6B towers
+_VIT_300M = InternVisionConfig()
+_VIT_6B = InternVisionConfig(width=3200, layers=45, heads=25, mlp_dim=12800,
+                             qk_norm=True, norm_type="rms")
+
+
 INTERNVL_MODELS = {
+    # ---- InternVL3 (Qwen2.5 backbones; reference internvl_model.py:20-64)
     "internvl3-1b": {"hf": "OpenGVLab/InternVL3-1B-hf",
                      "config": InternVLConfig(
-                         InternVisionConfig(),
+                         _VIT_300M,
                          _qwen25_text(896, 24, 14, 2, 4864))},
     "internvl3-2b": {"hf": "OpenGVLab/InternVL3-2B-hf",
                      "config": InternVLConfig(
-                         InternVisionConfig(),
+                         _VIT_300M,
                          _qwen25_text(1536, 28, 12, 2, 8960))},
     "internvl3-8b": {"hf": "OpenGVLab/InternVL3-8B-hf",
                      "config": InternVLConfig(
-                         InternVisionConfig(),
+                         _VIT_300M,
                          _qwen25_text(3584, 28, 28, 4, 18944, vocab=152064))},
+    "internvl3-14b": {"hf": "OpenGVLab/InternVL3-14B-hf",
+                      "config": InternVLConfig(
+                          _VIT_300M,
+                          _qwen25_text(5120, 48, 40, 8, 13824, vocab=152064))},
+    "internvl3-78b": {"hf": "OpenGVLab/InternVL3-78B-hf",
+                      "config": InternVLConfig(
+                          _VIT_6B,
+                          _qwen25_text(8192, 80, 64, 8, 29568, vocab=152064))},
+    # ---- InternVL3.5 (Qwen3 backbones; reference internvl_model.py:66-187)
+    "internvl3.5-1b": {"hf": "OpenGVLab/InternVL3_5-1B-hf",
+                       "config": InternVLConfig(
+                           _VIT_300M, _qwen3_text(1024, 28, 16, 8, 3072))},
+    "internvl3.5-2b": {"hf": "OpenGVLab/InternVL3_5-2B-hf",
+                       "config": InternVLConfig(
+                           _VIT_300M, _qwen3_text(2048, 28, 16, 8, 6144))},
+    "internvl3.5-4b": {"hf": "OpenGVLab/InternVL3_5-4B-hf",
+                       "config": InternVLConfig(
+                           _VIT_300M, _qwen3_text(2560, 36, 32, 8, 9728))},
+    "internvl3.5-8b": {"hf": "OpenGVLab/InternVL3_5-8B-hf",
+                       "config": InternVLConfig(
+                           _VIT_300M, _qwen3_text(4096, 36, 32, 8, 12288))},
+    "internvl3.5-14b": {"hf": "OpenGVLab/InternVL3_5-14B-hf",
+                        "config": InternVLConfig(
+                            _VIT_300M, _qwen3_text(5120, 40, 40, 8, 17408))},
+    "internvl3.5-38b": {"hf": "OpenGVLab/InternVL3_5-38B-hf",
+                        "config": InternVLConfig(
+                            _VIT_6B, _qwen3_text(5120, 64, 64, 8, 25600))},
+    "internvl3.5-30b-a3b": {"hf": "OpenGVLab/InternVL3_5-30B-A3B-hf",
+                            "config": InternVLConfig(
+                                _VIT_300M,
+                                _qwen3_text(2048, 48, 32, 4, 0,
+                                            moe=(128, 8, 768)))},
+    "internvl3.5-241b-a28b": {"hf": "OpenGVLab/InternVL3_5-241B-A28B-hf",
+                              "config": InternVLConfig(
+                                  _VIT_6B,
+                                  _qwen3_text(4096, 94, 64, 4, 0,
+                                              moe=(128, 8, 1536)))},
     "internvl3-test": {"hf": None,
                        "config": InternVLConfig(
                            InternVisionConfig(image_size=28, patch_size=14,
@@ -99,6 +163,36 @@ INTERNVL_MODELS = {
                                              rope_theta=1_000_000.0,
                                              mrope_section=None, qkv_bias=True),
                            image_token_id=500, max_tiles=4)},
+    # tiny Qwen3-backbone config: parity/coverage for the 3.5 line
+    "internvl3.5-test": {"hf": None,
+                         "config": InternVLConfig(
+                             InternVisionConfig(image_size=28, patch_size=14,
+                                                width=32, layers=2, heads=4,
+                                                mlp_dim=64),
+                             dec.DecoderConfig(vocab_size=512, d_model=48,
+                                               layers=2, heads=4, kv_heads=2,
+                                               head_dim=16, d_ff=96,
+                                               rope_theta=1_000_000.0,
+                                               mrope_section=None,
+                                               qkv_bias=False, qk_norm=True),
+                             image_token_id=500, max_tiles=4)},
+    "internvl3.5-moe-test": {"hf": None,
+                             "config": InternVLConfig(
+                                 InternVisionConfig(image_size=28,
+                                                    patch_size=14, width=32,
+                                                    layers=2, heads=4,
+                                                    mlp_dim=64, qk_norm=True,
+                                                    norm_type="rms"),
+                                 dataclasses.replace(
+                                     dec.DecoderConfig(
+                                         vocab_size=512, d_model=48, layers=2,
+                                         heads=4, kv_heads=2, head_dim=16,
+                                         d_ff=0, rope_theta=1_000_000.0,
+                                         mrope_section=None, qkv_bias=False,
+                                         qk_norm=True),
+                                     num_experts=4, experts_per_tok=2,
+                                     moe_d_ff=32),
+                                 image_token_id=500, max_tiles=4)},
 }
 
 
@@ -164,19 +258,31 @@ def preprocess_tiles(tiles: list[np.ndarray]) -> np.ndarray:
 def vision_tower(p: Params, cfg: InternVisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, 1+P, width), last hidden state (no final LN)."""
     b = pixels.shape[0]
+
+    def norm(x, prm):
+        if cfg.norm_type == "rms":
+            return L.rms_norm(x, prm["scale"], cfg.ln_eps)
+        return L.layer_norm(x, prm["scale"], prm["bias"], cfg.ln_eps)
+
     x = patchify(pixels, cfg.patch_size) @ p["patch_w"] + p["patch_b"]
     cls = jnp.broadcast_to(p["cls"], (b, 1, cfg.width)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_emb"][: x.shape[1]]
     for blk in p["blocks"]:
-        h = L.layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.ln_eps)
-        q = L.split_heads(L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"]), cfg.heads)
-        k = L.split_heads(L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"]), cfg.heads)
+        h = norm(x, blk["ln1"])
+        qf = L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"])
+        kf = L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"])
+        if cfg.qk_norm:
+            # InternViT-6B: RMS over the flattened heads*head_dim dim
+            qf = L.rms_norm(qf, blk["attn"]["q_norm"]["scale"], cfg.ln_eps)
+            kf = L.rms_norm(kf, blk["attn"]["k_norm"]["scale"], cfg.ln_eps)
+        q = L.split_heads(qf, cfg.heads)
+        k = L.split_heads(kf, cfg.heads)
         v = L.split_heads(L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"]), cfg.heads)
         a = L.merge_heads(attention(q, k, v))
         a = L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         x = x + blk["lambda_1"] * a
-        h = L.layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.ln_eps)
+        h = norm(x, blk["ln2"])
         h = L.ACT_FNS["gelu"](L.linear(h, blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"]))
         h = L.linear(h, blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"])
         x = x + blk["lambda_2"] * h
@@ -242,7 +348,7 @@ def init_internvl(key, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
     blocks = []
     for i in range(v.layers):
         sub = jax.random.split(ks[i], 6)
-        blocks.append({
+        blk = {
             "ln1": ln(v.width),
             "attn": {"q": lin(sub[0], v.width, v.width),
                      "k": lin(sub[1], v.width, v.width),
@@ -253,7 +359,11 @@ def init_internvl(key, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
                     "fc2": lin(sub[5], v.mlp_dim, v.width)},
             "lambda_1": jnp.full((v.width,), 0.1, dtype),
             "lambda_2": jnp.full((v.width,), 0.1, dtype),
-        })
+        }
+        if v.qk_norm:
+            blk["attn"]["q_norm"] = {"scale": jnp.ones((v.width,), dtype)}
+            blk["attn"]["k_norm"] = {"scale": jnp.ones((v.width,), dtype)}
+        blocks.append(blk)
     shuffle_dim = int(v.width / cfg.downsample_ratio ** 2)
     k1, k2 = jax.random.split(kp)
     return {
@@ -271,8 +381,18 @@ def init_internvl(key, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
             "fc1": lin(k1, shuffle_dim, cfg.text.d_model),
             "fc2": lin(k2, cfg.text.d_model, cfg.text.d_model),
         },
-        "decoder": dec.init_decoder(kd, cfg.text, dtype),
+        "decoder": _init_decoder_maybe_qk(kd, cfg.text, dtype),
     }
+
+
+def _init_decoder_maybe_qk(key, tcfg, dtype):
+    """init_decoder + per-head q/k RMSNorm scales for Qwen3 backbones."""
+    params = dec.init_decoder(key, tcfg, dtype)
+    if tcfg.qk_norm:
+        for blk in params["blocks"]:
+            blk["attn"]["q_norm"] = {"scale": jnp.ones((tcfg.head_dim,), dtype)}
+            blk["attn"]["k_norm"] = {"scale": jnp.ones((tcfg.head_dim,), dtype)}
+    return params
 
 
 def convert_internvl(sd, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
@@ -287,7 +407,10 @@ def convert_internvl(sd, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
                 "b": J(f"{prefix}.bias") if f"{prefix}.bias" in sd else None}
 
     def ln(prefix):
-        return {"scale": J(f"{prefix}.weight"), "bias": J(f"{prefix}.bias")}
+        out = {"scale": J(f"{prefix}.weight")}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = J(f"{prefix}.bias")
+        return out
 
     vp = ("model.vision_tower" if any(k.startswith("model.vision_tower") for k in sd)
           else "vision_tower")
@@ -302,7 +425,7 @@ def convert_internvl(sd, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
     blocks = []
     for i in range(v.layers):
         b = f"{vp}.encoder.layer.{i}"
-        blocks.append({
+        blk = {
             "ln1": ln(f"{b}.layernorm_before"),
             "attn": {"q": lin(f"{b}.attention.q_proj"),
                      "k": lin(f"{b}.attention.k_proj"),
@@ -312,7 +435,11 @@ def convert_internvl(sd, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
             "mlp": {"fc1": lin(f"{b}.mlp.fc1"), "fc2": lin(f"{b}.mlp.fc2")},
             "lambda_1": J(f"{b}.lambda_1"),
             "lambda_2": J(f"{b}.lambda_2"),
-        })
+        }
+        if v.qk_norm:
+            blk["attn"]["q_norm"] = ln(f"{b}.attention.q_norm")
+            blk["attn"]["k_norm"] = ln(f"{b}.attention.k_norm")
+        blocks.append(blk)
     vision = {
         "cls": jnp.asarray(t2np(sd[f"{vp}.embeddings.cls_token"]).reshape(-1), dtype),
         "patch_w": jnp.asarray(conv.reshape(conv.shape[0], -1).T, dtype),
@@ -325,23 +452,56 @@ def convert_internvl(sd, cfg: InternVLConfig, dtype=jnp.float32) -> Params:
     dec_blocks = []
     for i in range(cfg.text.layers):
         b = f"{tp}.layers.{i}"
-        dec_blocks.append({
-            "ln1": {"scale": J(f"{b}.input_layernorm.weight")},
-            "attn": {
-                "q": {"w": J(f"{b}.self_attn.q_proj.weight", True),
-                      "b": J(f"{b}.self_attn.q_proj.bias")},
-                "k": {"w": J(f"{b}.self_attn.k_proj.weight", True),
-                      "b": J(f"{b}.self_attn.k_proj.bias")},
-                "v": {"w": J(f"{b}.self_attn.v_proj.weight", True),
-                      "b": J(f"{b}.self_attn.v_proj.bias")},
-                "o": {"w": J(f"{b}.self_attn.o_proj.weight", True), "b": None},
-            },
-            "ln2": {"scale": J(f"{b}.post_attention_layernorm.weight")},
-            "mlp": {
+
+        def maybe_bias(name):
+            k = f"{b}.self_attn.{name}.bias"
+            return J(k) if k in sd else None
+
+        if cfg.text.num_experts:
+            # Qwen3-MoE layouts: packed experts (Qwen3VLMoe-style) or
+            # per-expert modules (Qwen3MoE-style)
+            if f"{b}.mlp.experts.gate_up_proj" in sd:
+                mlp = {"moe": {
+                    "router": {"w": J(f"{b}.mlp.gate.weight", True)},
+                    "gate_up": J(f"{b}.mlp.experts.gate_up_proj"),
+                    "down": J(f"{b}.mlp.experts.down_proj"),
+                }}
+            else:
+                gu, dn = [], []
+                for e in range(cfg.text.num_experts):
+                    ep = f"{b}.mlp.experts.{e}"
+                    g = t2np(sd[f"{ep}.gate_proj.weight"]).T  # (H, I)
+                    u = t2np(sd[f"{ep}.up_proj.weight"]).T
+                    gu.append(np.concatenate([g, u], axis=1))  # (H, 2I)
+                    dn.append(t2np(sd[f"{ep}.down_proj.weight"]).T)  # (I, H)
+                mlp = {"moe": {
+                    "router": {"w": J(f"{b}.mlp.gate.weight", True)},
+                    "gate_up": jnp.asarray(np.stack(gu), dtype),
+                    "down": jnp.asarray(np.stack(dn), dtype),
+                }}
+        else:
+            mlp = {
                 "gate": {"w": J(f"{b}.mlp.gate_proj.weight", True), "b": None},
                 "up": {"w": J(f"{b}.mlp.up_proj.weight", True), "b": None},
                 "down": {"w": J(f"{b}.mlp.down_proj.weight", True), "b": None},
-            },
+            }
+        attn = {
+            "q": {"w": J(f"{b}.self_attn.q_proj.weight", True),
+                  "b": maybe_bias("q_proj")},
+            "k": {"w": J(f"{b}.self_attn.k_proj.weight", True),
+                  "b": maybe_bias("k_proj")},
+            "v": {"w": J(f"{b}.self_attn.v_proj.weight", True),
+                  "b": maybe_bias("v_proj")},
+            "o": {"w": J(f"{b}.self_attn.o_proj.weight", True), "b": None},
+        }
+        if cfg.text.qk_norm:
+            attn["q_norm"] = {"scale": J(f"{b}.self_attn.q_norm.weight")}
+            attn["k_norm"] = {"scale": J(f"{b}.self_attn.k_norm.weight")}
+        dec_blocks.append({
+            "ln1": {"scale": J(f"{b}.input_layernorm.weight")},
+            "attn": attn,
+            "ln2": {"scale": J(f"{b}.post_attention_layernorm.weight")},
+            "mlp": mlp,
         })
     decoder = {
         "embed": J(f"{tp}.embed_tokens.weight"),

@@ -112,10 +112,33 @@ QWEN3_VL_MODELS = {
     "qwen3-vl-235b-a22b": {"hf": "Qwen/Qwen3-VL-235B-A22B-Instruct", "fps": 8.0,
                            "config": None,
                            "moe_dims": (4096, 94, 64, 4, 128, 8, 1536)},
+    # Qwen3.5 (reference qwen3vl_model.py:119-146): same inference pattern
+    # as Qwen3-VL but the chat template closes an empty thinking block
+    # (enable_thinking=False, :242). Dims provisional — no public HF config
+    # at the reference checkout; structured as Qwen3-VL dense.
+    "qwen3.5-4b": {"hf": "Qwen/Qwen3.5-4B", "fps": 8.0, "config": None,
+                   "dims": (2560, 36, 32, 8, 9728), "enable_thinking": False},
+    "qwen3.5-9b": {"hf": "Qwen/Qwen3.5-9B", "fps": 8.0, "config": None,
+                   "dims": (4096, 40, 32, 8, 12288), "enable_thinking": False},
+    "qwen3.5-27b": {"hf": "Qwen/Qwen3.5-27B", "fps": 8.0, "config": None,
+                    "dims": (5120, 64, 64, 8, 25600),
+                    "enable_thinking": False},
     "qwen3-vl-test": {"hf": None, "fps": 8.0, "config": "test", "dims": None},
     "qwen3-vl-moe-test": {"hf": None, "fps": 8.0, "config": "moe-test",
                           "dims": None},
 }
+
+# -thinking variants (reference qwen3vl_model.py:19-118): identical
+# architecture, different checkpoints. Registered programmatically so the
+# name list matches the reference one-for-one.
+for _base, _hf in [("qwen3-vl-2b", "Qwen/Qwen3-VL-2B-Thinking"),
+                   ("qwen3-vl-4b", "Qwen/Qwen3-VL-4B-Thinking"),
+                   ("qwen3-vl-8b", "Qwen/Qwen3-VL-8B-Thinking"),
+                   ("qwen3-vl-32b", "Qwen/Qwen3-VL-32B-Thinking"),
+                   ("qwen3-vl-30b-a3b", "Qwen/Qwen3-VL-30B-A3B-Thinking"),
+                   ("qwen3-vl-235b-a22b", "Qwen/Qwen3-VL-235B-A22B-Thinking")]:
+    QWEN3_VL_MODELS[f"{_base}-thinking"] = dict(QWEN3_VL_MODELS[_base],
+                                                hf=_hf)
 
 
 def resolve_config(name: str) -> Qwen3VLConfig:

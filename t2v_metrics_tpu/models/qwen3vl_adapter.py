@@ -26,6 +26,12 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
         spec = q3.QWEN3_VL_MODELS[self.model_name]
         self.config = self.kwargs.get("config") or q3.resolve_config(self.model_name)
         self.fps_default = spec.get("fps", 8.0)
+        # qwen3.5: the chat template closes an empty thinking block when
+        # enable_thinking=False (reference qwen3vl_model.py:242) — the
+        # assistant turn starts after "<think>\n\n</think>\n\n"
+        self._assistant_suffix = ("<think>\n\n</think>\n\n"
+                                  if spec.get("enable_thinking") is False
+                                  else "")
         dtype = self.kwargs.get("dtype") or _default_dtype()
         cfg = self.config
 
@@ -87,6 +93,12 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             raise RuntimeError(
                 f"cannot load {repo}: {e}. Pass init='random' in offline "
                 "environments.") from e
+
+    def _build_ids(self, question, n_vis, is_video):
+        ids = super()._build_ids(question, n_vis, is_video)
+        if self._assistant_suffix:
+            ids = ids + self._encode_text(self._assistant_suffix)
+        return ids
 
     def _image_patches(self, img):
         cfg2 = q2.QwenVisionConfig(
