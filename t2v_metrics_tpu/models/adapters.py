@@ -101,6 +101,33 @@ CLIP_T5_MODELS = {
 }
 
 
+def _require_hub(repo: str) -> None:
+    """Fast-fail weight loads in offline environments (one DNS probe
+    instead of ~40s of HF urllib retries per model). A local directory or
+    a warm HF cache entry still loads offline."""
+    import os
+
+    from ..tokenization import hub_reachable
+
+    if os.path.isdir(repo) or hub_reachable():
+        return
+    try:  # cached snapshots load fine offline — check before failing
+        from huggingface_hub import try_to_load_from_cache
+
+        from ..constants import HF_CACHE_DIR
+
+        for cache_dir in (None, HF_CACHE_DIR):
+            hit = try_to_load_from_cache(repo, "config.json",
+                                         cache_dir=cache_dir)
+            if isinstance(hit, str):
+                return
+    except Exception:
+        pass
+    raise RuntimeError(
+        f"hub unreachable and {repo!r} is neither a local directory nor "
+        "cached")
+
+
 class CLIPT5Adapter(VQAScoreModel):
     """CLIP-FlanT5 VQAScore adapter (flagship; BASELINE configs 2-3).
 
@@ -159,6 +186,7 @@ class CLIPT5Adapter(VQAScoreModel):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import AutoModelForSeq2SeqLM
             hf = AutoModelForSeq2SeqLM.from_pretrained(
@@ -274,6 +302,7 @@ class CLIPScoreAdapter(ScoreModel):
 
     def _load_from_hf(self, repo, vcfg, tcfg, dtype):
         try:
+            _require_hub(repo)
             from transformers import CLIPModel
             from .convert import convert_clip
             hf = CLIPModel.from_pretrained(repo, cache_dir=self.cache_dir)

@@ -18,9 +18,10 @@ import jax.numpy as jnp
 from ..constants import VIDEO_EXTENSIONS, SIGLIP_MEAN, SIGLIP_STD
 from ..media.images import image_loader
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
-from .adapters import VQAScoreModel, _default_dtype
-from .generation import CachedLM, decode_text
+from .adapters import VQAScoreModel, _default_dtype, _require_hub
+from .generation import CachedLM, decode_text, score_rollout
 from . import gemma3 as g3
+from . import gemma4 as g4
 from . import paligemma as pg
 
 DEFAULT_QUESTION = 'Does this figure show "{}"? Please answer Yes or No.'
@@ -136,6 +137,7 @@ class Gemma3Adapter(_GemmaBase):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import Gemma3ForConditionalGeneration
             hf = Gemma3ForConditionalGeneration.from_pretrained(
@@ -305,6 +307,7 @@ class PaliGemmaAdapter(_GemmaBase):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import PaliGemmaForConditionalGeneration
             hf = PaliGemmaForConditionalGeneration.from_pretrained(
@@ -421,4 +424,115 @@ class PaliGemmaAdapter(_GemmaBase):
                                      max_new_tokens, eos_ids=eos,
                                      bidir_full=bidir_full)
             outs.append(decode_text(self.tokenizer, text_ids + gen, eos))
+        return outs
+
+
+class Gemma4Adapter(Gemma3Adapter):
+    """Gemma 4 (reference gemma4_model.py). Same media pipeline as Gemma 3;
+    scoring is a 5-token greedy ROLLOUT scored end-aligned (the model may
+    emit an empty thinking block before the answer even with thinking
+    disabled, reference :164-172). See models/gemma4.py for the documented
+    golden-parity blocker."""
+
+    def load_model(self):
+        spec = g4.GEMMA4_MODELS[self.model_name]
+        self.config = self.kwargs.get("config") or spec["config"]
+        dtype = self.kwargs.get("dtype") or _default_dtype()
+        cfg = self.config
+
+        params = self.kwargs.get("params")
+        if params is None:
+            ckpt = self.kwargs.get("checkpoint")
+            if ckpt:
+                from .checkpoint import load_params
+
+                params = load_params(ckpt, dtype=dtype)
+            elif self.kwargs.get("init") == "random" or spec["hf"] is None:
+                params = g4.init_gemma4(
+                    jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)
+            else:
+                raise RuntimeError(
+                    f"no public HF implementation for {self.model_name} "
+                    "(transformers 4.57 has no Gemma4 class); pass "
+                    "checkpoint=<converted dir> or init='random'. See "
+                    "models/gemma4.py docstring.")
+        self.params = params
+        self._setup_tokenizer(spec["hf"], cfg.text.vocab_size)
+
+        self._vision_jit = jax.jit(lambda p, px: g4.image_features(p, cfg, px))
+        self._score_jit = jax.jit(
+            lambda p, *a, temperature: g4.splice_and_score(
+                p, cfg, *a, temperature=temperature),
+            static_argnames=("temperature",))
+
+    def _special_ids(self):
+        all_ids = getattr(self.tokenizer, "all_special_ids", None)
+        if all_ids:
+            return set(int(i) for i in all_ids)
+        return self._eos_ids()
+
+    def _rollout(self, path, question, num_frames, max_new_tokens,
+                 temperature=1.0):
+        """Shared greedy rollout: returns (gen ids, per-step dists)."""
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text, embed_scale=cfg.text.d_model ** 0.5)
+        ids, px = self._assemble(path, question, num_frames)
+        f = self._vision_jit(self.params, jnp.asarray(px))
+        f = np.asarray(f, np.float32).reshape(-1, cfg.text.d_model)
+        n = len(ids)
+        s = _bucket(n)
+        ids_arr = np.zeros((1, s), np.int64)
+        ids_arr[0, :n] = ids
+        vis_mask = ids_arr == cfg.image_token_id
+        vis_mask[0, n:] = False
+        vis_slot = np.zeros((1, s), np.int64)
+        vis_slot[vis_mask] = np.arange(vis_mask.sum())
+        feats = np.zeros((1, max(f.shape[0], 1), cfg.text.d_model), np.float32)
+        feats[0, : f.shape[0]] = f
+
+        embed = self.params["decoder"]["embed"]
+        scale = jnp.asarray(cfg.text.d_model ** 0.5, embed.dtype)
+        tok = embed[jnp.asarray(ids_arr)] * scale
+        vis = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                  jnp.asarray(vis_slot)[..., None], axis=1)
+        embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+        bidir_full = np.full((1, s + max_new_tokens), -1, np.int32)
+        bidir_full[0, :s] = self._group_ids_np(vis_mask[0])
+        pos = np.broadcast_to(np.arange(s)[None], (1, s)).copy()
+        return self._lm.greedy(self.params["decoder"], embeds, pos, n,
+                               max_new_tokens, eos_ids=self._eos_ids(),
+                               temperature=temperature,
+                               bidir_full=bidir_full)
+
+    def forward(self, images, texts, num_frames: int = 10, fps=None,
+                question_template: str = DEFAULT_QUESTION,
+                answer_template: str = DEFAULT_ANSWER,
+                max_new_tokens: int = 5,  # buffer for empty thinking block
+                temperature: float = 1.0, **kw) -> np.ndarray:
+        assert len(images) == len(texts)
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        special = self._special_ids()
+        probs = []
+        for path, question, answer in zip(images, questions, answers):
+            gen, dists = self._rollout(path, question, num_frames,
+                                       max_new_tokens, temperature)
+            ans = self._encode_text(answer)
+            probs.append(score_rollout(dists, gen, ans, special))
+        return np.asarray(probs, np.float32)
+
+    def generate(self, images, texts, num_frames: int = 10, fps=None,
+                 max_new_tokens: int = 1024, temperature: float = 0.0,
+                 do_sample=None, top_p: float = 0.9, **kw) -> list[str]:
+        """Greedy generate; thinking blocks stripped like the reference's
+        processor.parse_response (gemma4_model.py:276-281)."""
+        assert len(images) == len(texts)
+        outs = []
+        for path, text in zip(images, texts):
+            gen, _ = self._rollout(path, text, num_frames, max_new_tokens)
+            eos = self._eos_ids()
+            raw_ids = [i for i in gen if i not in eos]
+            decode = getattr(self.tokenizer, "decode", lambda x: str(x))
+            outs.append(g4.parse_response(decode(raw_ids)))
         return outs

@@ -108,6 +108,36 @@ class CachedLM:
         return gen, dists
 
 
+def score_rollout(dists, gen, answer_ids, special_ids,
+                  warn=print) -> float:
+    """End-aligned rollout scoring (reference gemma4_model.py:185-228 and
+    molmo2_model.py:168-214 share this exact rule).
+
+    The model generates a few tokens (possibly an empty thinking block
+    before the answer); the answer tokens are scored from the END of the
+    generated sequence, skipping one trailing special token. Returns the
+    geometric-mean probability.
+    """
+    n_ans = len(answer_ids)
+    offset = 0
+    if gen and gen[-1] in special_ids:
+        n_ans = min(n_ans, len(dists) - 1)
+        offset = 1
+        if n_ans <= 0:
+            raise ValueError(
+                "No content tokens to score after removing special tokens")
+    if len(dists) < n_ans:
+        warn(f"  Warning: Generated {len(dists)} tokens but need "
+             f"{n_ans}, adjusting")
+        n_ans = len(dists)
+    ans = answer_ids[:n_ans]
+    joint = 1.0
+    for i in range(n_ans):
+        pos = len(dists) - (n_ans - i + offset)
+        joint *= float(dists[pos][ans[i]])
+    return joint ** (1.0 / max(n_ans, 1))
+
+
 def decode_text(tokenizer, ids, eos_ids=()) -> str:
     """Decode generated ids, stripping eos/special tokens like the
     reference's skip_special_tokens=True decode."""

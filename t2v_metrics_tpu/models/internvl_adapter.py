@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..constants import VIDEO_EXTENSIONS
 from ..media.images import image_loader
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
-from .adapters import VQAScoreModel, _default_dtype
+from .adapters import VQAScoreModel, _default_dtype, _require_hub
 from .fastchat_utils import get_conv_template
 from .generation import CachedLM, decode_text
 from . import internvl as ivl
@@ -65,6 +65,7 @@ class InternVLAdapter(VQAScoreModel):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import InternVLForConditionalGeneration
             hf = InternVLForConditionalGeneration.from_pretrained(

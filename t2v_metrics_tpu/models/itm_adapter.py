@@ -17,7 +17,7 @@ from PIL import Image
 from ..constants import CLIP_MEAN, CLIP_STD
 from ..media.images import image_loader
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
-from .adapters import ScoreModel, _default_dtype
+from .adapters import ScoreModel, _default_dtype, _require_hub
 from . import blip2_itm as bitm
 
 
@@ -57,6 +57,7 @@ class Blip2ITMAdapter(ScoreModel):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import Blip2ForImageTextRetrieval
             hf = Blip2ForImageTextRetrieval.from_pretrained(

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..constants import VIDEO_EXTENSIONS
 from ..media.images import image_loader
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
-from .adapters import VQAScoreModel, _default_dtype
+from .adapters import VQAScoreModel, _default_dtype, _require_hub
 from . import qwen2vl as q
 from . import decoder as dec
 
@@ -108,6 +108,7 @@ class Qwen2VLAdapter(VQAScoreModel):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import Qwen2_5_VLForConditionalGeneration
             hf = Qwen2_5_VLForConditionalGeneration.from_pretrained(

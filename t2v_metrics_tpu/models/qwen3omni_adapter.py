@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..constants import VIDEO_EXTENSIONS
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
-from .adapters import _default_dtype
+from .adapters import _default_dtype, _require_hub
 from .qwen2vl_adapter import Qwen2VLAdapter, _bucket, SEQ_BUCKETS
 from . import qwen2vl as q2
 from . import qwen3omni as qo
@@ -110,6 +110,7 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import Qwen3OmniMoeForConditionalGeneration
             hf = Qwen3OmniMoeForConditionalGeneration.from_pretrained(

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from ..constants import VIDEO_EXTENSIONS
 from ..media.images import image_loader
 from ..tokenization import SimpleT5Tokenizer, load_hf_tokenizer
-from .adapters import _default_dtype
+from .adapters import _default_dtype, _require_hub
 from .qwen2vl_adapter import Qwen2VLAdapter, _bucket, PATCH_BUCKETS
 from . import qwen2vl as q2
 from . import qwen3vl as q3
@@ -84,6 +84,7 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
 
     def _load_from_hf(self, repo, cfg, dtype):
         try:
+            _require_hub(repo)
             import torch
             from transformers import Qwen3VLForConditionalGeneration
             hf = Qwen3VLForConditionalGeneration.from_pretrained(

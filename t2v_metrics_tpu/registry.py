@@ -72,6 +72,26 @@ def _register_builtin():
 
     _VQA_FAMILIES.append((paligemma_names, paligemma_build))
 
+    def gemma4_names():
+        from .models.gemma4 import GEMMA4_MODELS
+        return GEMMA4_MODELS
+
+    def gemma4_build(name, device, cache_dir, **kw):
+        from .models.gemma_adapters import Gemma4Adapter
+        return Gemma4Adapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((gemma4_names, gemma4_build))
+
+    def molmo2_names():
+        from .models.molmo2 import MOLMO2_MODELS
+        return MOLMO2_MODELS
+
+    def molmo2_build(name, device, cache_dir, **kw):
+        from .models.molmo2_adapter import Molmo2Adapter
+        return Molmo2Adapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((molmo2_names, molmo2_build))
+
     def qwen3omni_names():
         from .models.qwen3omni import QWEN3_OMNI_MODELS
         return QWEN3_OMNI_MODELS

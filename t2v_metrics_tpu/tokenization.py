@@ -49,10 +49,40 @@ def splice_image_tokens(prompt: str, tokenizer,
     return out
 
 
+_HUB_REACHABLE: bool | None = None
+
+
+def hub_reachable() -> bool:
+    """One-time DNS probe for huggingface.co.
+
+    In zero-egress environments every from_pretrained otherwise burns
+    ~40s of urllib retries before failing; a failed name resolution is
+    instant and cached for the process lifetime.
+    """
+    global _HUB_REACHABLE
+    if _HUB_REACHABLE is None:
+        import os
+        import socket
+
+        if os.environ.get("HF_HUB_OFFLINE") or os.environ.get("TRANSFORMERS_OFFLINE"):
+            _HUB_REACHABLE = False
+        else:
+            try:
+                socket.getaddrinfo("huggingface.co", 443)
+                _HUB_REACHABLE = True
+            except OSError:
+                _HUB_REACHABLE = False
+    return _HUB_REACHABLE
+
+
 def load_hf_tokenizer(path: str, **kwargs):
     """Load a fast tokenizer from a local dir / HF cache (tokenizer.json)."""
+    import os
+
     from transformers import AutoTokenizer
 
+    if not os.path.isdir(path) and not hub_reachable():
+        kwargs.setdefault("local_files_only", True)
     return AutoTokenizer.from_pretrained(path, use_fast=True, **kwargs)
 
 

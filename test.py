@@ -126,7 +126,8 @@ def main():
     local = os.environ.get(
         "T2V_TEST_MODELS",
         "clip-flant5-test,clipscore-test,qwen2.5-vl-test,qwen3-vl-test,"
-        "gemma-3-test,paligemma-test,internvl3-test,qwen3-omni-test").split(",")
+        "gemma-3-test,gemma-4-test,paligemma-test,internvl3-test,"
+        "molmo2-test,qwen3-omni-test").split(",")
     for name in [m.strip() for m in local if m.strip()]:
         run_model(name)
 
