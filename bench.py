@@ -1,20 +1,30 @@
-"""Throughput benchmark: GenAI-Bench-style M×N VQAScore pair scoring.
+"""Throughput benchmark: GenAI-Bench-style VQAScore pair scoring.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N,
+   "device_only_pairs_per_sec": N, "mfu": N, ...}
+
+Workload shape matches the north star (BASELINE.json: "GenAI-Bench
+image-text pairs/sec/chip"): GenAI-Bench evaluation scores each generated
+image against its own prompt — `batch_forward` over samples of one image x
+one text (reference genai_image_eval.py:148 on score.py:115-156). Chunks
+of `--chunk` pairs run through the engine; device compute overlaps the
+next chunk's host preprocessing (score.py pipelined batch_forward).
 
 Model: clip-flant5-xl (3B; the largest flagship variant that fits a single
 16GB v5e chip in bf16 — clip-flant5-xxl at 11B needs a TP slice, which this
 host doesn't have; same architecture family as the BASELINE north star).
 Weights are random (zero-egress image: no HF downloads) — throughput is
 architecture+shape-determined, not weight-determined. Score parity vs HF is
-covered by the test suite (tests/test_clip_flant5_e2e.py, ≤5e-5).
+covered by the test suite (tests/test_clip_flant5_e2e.py, <=5e-5).
 
 Baseline: the reference pipeline re-runs vision encode + T5 prefill +
 HF generate() per (image, text) pair, unbatched (reference score.py:104-106).
 On an A100-40GB that measures ~6 pairs/s for clip-flant5-xl-class models
 (~4 TFLOPs/pair at the ~15% effective MFU typical of unbatched HF generate
 calls). vs_baseline = measured / 6.0.
+
+--profile writes a jax.profiler trace under ./profile_trace/ (SURVEY.md §5).
 """
 
 import argparse
@@ -30,14 +40,62 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 HF_GPU_BASELINE_PAIRS_PER_SEC = 6.0
 
+# bf16 peak TFLOP/s per chip by device kind (MFU denominator)
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5": 459.0,        # v5p
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+}
+
+
+def _peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in sorted(PEAK_TFLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return peak
+    return 197.0  # assume v5e-class
+
+
+def flops_per_pair(cfg, enc_seq: int, ans_len: int) -> float:
+    """Analytic matmul FLOPs for one (image, text) pair: CLIP ViT encode +
+    projector + T5 encoder + teacher-forced decoder + lm head."""
+    v, t = cfg.vision, cfg.t5
+    T = (v.image_size // v.patch_size) ** 2 + 1
+    vit = v.layers * (4 * T * v.width ** 2 + 2 * T ** 2 * v.width
+                      + 2 * T * v.width * v.mlp_dim) * 2
+    proj = (T * v.width * t.d_model + T * t.d_model ** 2) * 2
+    S, A = enc_seq, ans_len
+    hd = t.num_heads * t.d_kv
+    enc = t.enc_layers * (2 * S * t.d_model * hd * 2   # q,k
+                          + 2 * S * t.d_model * hd     # v,o (no, see below)
+                          + 2 * S * S * hd
+                          + 3 * S * t.d_model * t.d_ff) * 2
+    # correction: q,k,v,o are 4 projections total
+    enc = t.enc_layers * (4 * S * t.d_model * hd
+                          + 2 * S * S * hd
+                          + 3 * S * t.d_model * t.d_ff) * 2
+    dec = t.dec_layers * (4 * A * t.d_model * hd       # self q,k,v,o
+                          + 2 * A * A * hd
+                          + 2 * S * t.d_model * hd     # cross k,v over enc
+                          + 2 * A * t.d_model * hd     # cross q,o
+                          + 2 * A * S * hd
+                          + 3 * A * t.d_model * t.d_ff) * 2
+    head = A * t.d_model * t.vocab_size * 2
+    return float(vit + proj + enc + dec + head)
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="clip-flant5-xl")
-    ap.add_argument("--m", type=int, default=16, help="images")
-    ap.add_argument("--n", type=int, default=8, help="texts")
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=256,
+                    help="dataset samples (1 image x 1 text each)")
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="batch_forward batch size = engine chunk")
+    ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--profile", action="store_true",
+                    help="write a jax.profiler trace to ./profile_trace/")
     args = ap.parse_args()
 
     import jax
@@ -46,33 +104,83 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     scorer = t2v.VQAScore(model=args.model, init="random", dtype=dtype,
-                          max_pairs_per_call=128)
+                          max_pairs_per_call=args.chunk)
+    eng = scorer.model.engine
 
     rng = np.random.default_rng(0)
-    images = [rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
-              for _ in range(args.m)]
-    texts = [f"a photo of scene {i} with several objects and a detailed "
-             f"background arrangement" for i in range(args.n)]
+    dataset = [{"images": [rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)],
+                "texts": [f"a photo of scene {i} with several objects and a "
+                          f"detailed background arrangement"]}
+               for i in range(args.samples)]
 
-    # warmup / compile
-    scorer(images=images, texts=texts)
+    # warmup / compile (one chunk)
+    scorer.batch_forward(dataset[: args.chunk], batch_size=args.chunk)
 
+    ctx = None
+    if args.profile:
+        ctx = jax.profiler.trace("./profile_trace")
+        ctx.__enter__()
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        scores = scorer(images=images, texts=texts)
+        scores = scorer.batch_forward(dataset, batch_size=args.chunk)
     elapsed = time.perf_counter() - t0
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
 
     n_chips = max(len(jax.devices()), 1)
-    pairs = args.m * args.n * args.iters
+    pairs = args.samples * args.iters
     pps = pairs / elapsed / n_chips
-    assert scores.shape == (args.m, args.n)
+    assert scores.shape == (args.samples, 1, 1)
+
+    # ---- device-only: inputs pre-staged, loop encode+score ----
+    from t2v_metrics_tpu.media.images import load_batch
+    from t2v_metrics_tpu.models import clip_flant5 as cft5
+    from t2v_metrics_tpu.constants import (DEFAULT_QUESTION_TEMPLATE,
+                                           DEFAULT_ANSWER_TEMPLATE)
+
+    imgs = [s["images"][0] for s in dataset[: args.chunk]]
+    txts = [s["texts"][0] for s in dataset[: args.chunk]]
+    pixels = jnp.asarray(load_batch(imgs, eng.cfg.vision.image_size,
+                                    pad_square=True, raw_uint8=True))
+    questions = [cft5.format_question(DEFAULT_QUESTION_TEMPLATE.format(t),
+                                      eng.cfg.conversation) for t in txts]
+    answers = [cft5.format_answer(DEFAULT_ANSWER_TEMPLATE.format(t),
+                                  eng.cfg.conversation) for t in txts]
+    arrays = eng._build_text_arrays(questions, answers)
+    dev = tuple(jnp.asarray(a) for a in arrays)
+    idx = jnp.arange(args.chunk, dtype=jnp.int32)
+    enc_seq, ans_len = arrays[0].shape[1], arrays[4].shape[1]
+
+    def device_pass():
+        feats = eng._encode(eng.params, pixels=pixels)
+        return eng._score(eng.params, feats, *dev, pair_image=idx,
+                          pair_text=idx)
+
+    device_pass().block_until_ready()
+    t0 = time.perf_counter()
+    outs = [device_pass() for _ in range(args.iters)]
+    for o in outs:
+        o.block_until_ready()
+    dev_elapsed = time.perf_counter() - t0
+    dev_pps = args.chunk * args.iters / dev_elapsed / n_chips
+
+    fpp = flops_per_pair(eng.cfg, enc_seq, ans_len)
+    peak = _peak_tflops(jax.devices()[0])
+    mfu = dev_pps * fpp / (peak * 1e12)
 
     print(json.dumps({
         "metric": f"GenAI-Bench image-text pairs/sec/chip ({args.model}, "
-                  f"M={args.m} N={args.n}, bf16, incl. host preprocessing)",
+                  f"{args.samples} samples x 1x1, chunk={args.chunk}, bf16, "
+                  f"pipelined batch_forward incl. host preprocessing)",
         "value": round(pps, 3),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pps / HF_GPU_BASELINE_PAIRS_PER_SEC, 3),
+        "device_only_pairs_per_sec": round(dev_pps, 3),
+        "host_overhead_pct": round(100 * (1 - pps / dev_pps), 1),
+        "mfu": round(mfu, 3),
+        "flops_per_pair_g": round(fpp / 1e9, 1),
+        "enc_seq": enc_seq,
+        "peak_tflops_assumed": peak,
         "baseline_note": "HF-GPU reference est. 6.0 pairs/s (A100, unbatched "
                          "per-pair loop); target >=5x",
         "chips": n_chips,

@@ -57,8 +57,21 @@ class CLIPT5Engine:
         self.params = params
 
         # cfg is a static dataclass — close over it rather than tracing it.
-        self._encode = jax.jit(
-            lambda params, pixels: cft5.image_features(params, cfg, pixels))
+        # pixels arrive uint8 (4x smaller transfer); normalization happens
+        # in-jit and the result is cast to the weight dtype so the ViT runs
+        # on the bf16 MXU path.
+        from ..constants import CLIP_MEAN, CLIP_STD
+
+        def _encode_fn(params, pixels):
+            if pixels.dtype == jnp.uint8:
+                x = pixels.astype(jnp.float32) / 255.0
+                x = ((x - jnp.asarray(CLIP_MEAN, jnp.float32))
+                     / jnp.asarray(CLIP_STD, jnp.float32))
+            else:
+                x = pixels
+            return cft5.image_features(params, cfg, x)
+
+        self._encode = jax.jit(_encode_fn)
         self._score = jax.jit(
             lambda params, feats, ids, img_mask, img_slot, enc_mask, ans_ids,
                    ans_mask, pair_image, pair_text:
@@ -123,7 +136,7 @@ class CLIPT5Engine:
         """
         pad_square = self.cfg.image_aspect_ratio == "pad"
         pixels = load_batch(images, self.cfg.vision.image_size,
-                            pad_square=pad_square)
+                            pad_square=pad_square, raw_uint8=True)
         m = len(images)
         mb = _bucket(m, IMG_BUCKETS)
         if mb > m:
@@ -180,6 +193,17 @@ class CLIPT5Engine:
                          answer_template=None) -> np.ndarray:
         """Reference adapter contract: len(images)==len(texts) paired scoring
         -> (P,) scores (reference vqa_model.py:9-18)."""
+        dev, n = self.forward_pairwise_device(images, texts,
+                                              question_template,
+                                              answer_template)
+        return np.asarray(dev, np.float32)[:n]
+
+    def forward_pairwise_device(self, images, texts, question_template=None,
+                                answer_template=None):
+        """Async variant: returns (device scores array, valid count) WITHOUT
+        synchronizing — jax async dispatch lets the caller overlap the next
+        chunk's host preprocessing with this chunk's device compute
+        (batch_forward pipelining)."""
         assert len(images) == len(texts)
         qt = question_template or DEFAULT_QUESTION_TEMPLATE
         at = answer_template or DEFAULT_ANSWER_TEMPLATE
@@ -212,7 +236,7 @@ class CLIPT5Engine:
         logp = self._score(self.params, feats, *dev,
                            pair_image=jnp.asarray(pair_image),
                            pair_text=jnp.asarray(pair_text))
-        return np.exp(np.asarray(logp, np.float32)[:n])
+        return jnp.exp(logp), n
 
 
     def generate(self, images, texts, max_new_tokens: int = 128,
@@ -268,7 +292,19 @@ class CLIPEngine:
         if mesh is not None:
             params = pmesh.shard_params(params, mesh)
         self.params = params
-        self._img = jax.jit(lambda params, pixels: jclip.encode_image(params, vcfg, pixels))
+
+        from ..constants import CLIP_MEAN, CLIP_STD
+
+        def _img_fn(params, pixels):
+            if pixels.dtype == jnp.uint8:
+                x = pixels.astype(jnp.float32) / 255.0
+                x = ((x - jnp.asarray(CLIP_MEAN, jnp.float32))
+                     / jnp.asarray(CLIP_STD, jnp.float32))
+            else:
+                x = pixels
+            return jclip.encode_image(params, vcfg, x)
+
+        self._img = jax.jit(_img_fn)
         self._txt = jax.jit(lambda params, ids: jclip.encode_text(params, tcfg, ids))
 
     def _tokenize(self, texts) -> np.ndarray:
@@ -282,7 +318,8 @@ class CLIPEngine:
     def score_matrix(self, images, texts, **_) -> np.ndarray:
         from ..constants import CLIP_MEAN, CLIP_STD
 
-        pixels = load_batch(images, self.vcfg.image_size, CLIP_MEAN, CLIP_STD)
+        pixels = load_batch(images, self.vcfg.image_size, CLIP_MEAN, CLIP_STD,
+                            raw_uint8=True)
         m = len(images)
         mb = _bucket(m, IMG_BUCKETS)
         if mb > m:

@@ -209,6 +209,15 @@ class CLIPT5Adapter(VQAScoreModel):
         return self.engine.forward_pairwise(
             images, texts, question_template, answer_template)
 
+    def forward_device(self, images, texts,
+                       question_template: str = DEFAULT_QUESTION_TEMPLATE,
+                       answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+                       **kwargs):
+        """Async pairwise scoring: (device array, count) with no host sync —
+        lets batch_forward overlap host prep with device compute."""
+        return self.engine.forward_pairwise_device(
+            images, texts, question_template, answer_template)
+
     def score_matrix(self, images, texts,
                      question_template: str = DEFAULT_QUESTION_TEMPLATE,
                      answer_template: str = DEFAULT_ANSWER_TEMPLATE,

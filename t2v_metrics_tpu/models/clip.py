@@ -170,6 +170,9 @@ def vision_tower(p: Params, cfg: CLIPVisionConfig, pixels: jnp.ndarray,
       CLIP-FlanT5's vision tower).
     """
     b = pixels.shape[0]
+    # compute in the weight dtype (HF casts pixel_values to model dtype;
+    # fp32 pixels would otherwise promote the whole tower off the bf16 MXU)
+    pixels = pixels.astype(p["patch_w"].dtype)
     x = patchify(pixels, cfg.patch_size) @ p["patch_w"]            # (B, P, W)
     cls = jnp.broadcast_to(p["class_emb"], (b, 1, cfg.width)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1) + p["pos_emb"]

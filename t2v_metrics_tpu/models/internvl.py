@@ -264,6 +264,7 @@ def vision_tower(p: Params, cfg: InternVisionConfig, pixels: jnp.ndarray) -> jnp
             return L.rms_norm(x, prm["scale"], cfg.ln_eps)
         return L.layer_norm(x, prm["scale"], prm["bias"], cfg.ln_eps)
 
+    pixels = pixels.astype(p["patch_w"].dtype)  # bf16 MXU path (HF casts)
     x = patchify(pixels, cfg.patch_size) @ p["patch_w"] + p["patch_b"]
     cls = jnp.broadcast_to(p["cls"], (b, 1, cfg.width)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)

@@ -265,6 +265,7 @@ def vision_tower(params: Params, cfg: QwenVisionConfig,
                  reverse: jnp.ndarray,      # (S/mu,) un-permutation
                  ) -> jnp.ndarray:
     """-> (S/merge_unit, out_hidden) merged features in original order."""
+    patches = patches.astype(params["patch_w"].dtype)  # bf16 MXU path
     x = patches @ params["patch_w"]                        # (S, hidden)
 
     half = cfg.head_dim // 2

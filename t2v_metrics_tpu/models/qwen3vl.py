@@ -250,6 +250,7 @@ def vision_tower(params: Params, cfg: Qwen3VisionConfig,
                  seg: jnp.ndarray,         # (S,) image segment ids, -1 pad
                  grid_t: int):
     """-> (merged feats (S/mu, out), deepstack feats (n_ds, S/mu, out))."""
+    patches = patches.astype(params["patch_w"].dtype)  # bf16 MXU path
     x = patches @ params["patch_w"] + params["patch_b"]
 
     pe = jnp.einsum("ksd,ks->sd", params["pos_emb"][pe_idx], pe_w)

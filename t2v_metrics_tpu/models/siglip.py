@@ -44,6 +44,7 @@ class SiglipVisionConfig:
 def vision_tower(p: Params, cfg: SiglipVisionConfig,
                  pixels: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, 3) normalized -> (B, num_patches, width)."""
+    pixels = pixels.astype(p["patch_w"].dtype)  # bf16 MXU path (HF casts)
     x = patchify(pixels, cfg.patch_size) @ p["patch_w"] + p["patch_b"]
     x = x + p["pos_emb"]
     for blk in p["blocks"]:

@@ -34,6 +34,13 @@ from ..ops.attention import attention
 
 Params = Any
 
+# In-kernel T5 rel-pos bias (ops/attention.py _rel_bias_block). Measured on
+# v5e: the per-tile bucket math + num_buckets selects cost more VPU time
+# than the streamed dense bias costs in HBM reads at the bench shapes
+# (37.5 vs 52.2 pairs/s), so the dense path stays the default; flip for
+# long-sequence / HBM-bound regimes.
+INKERNEL_REL_BIAS = False
+
 
 @dataclasses.dataclass(frozen=True)
 class T5Config:
@@ -112,11 +119,13 @@ def compute_position_bias(rel_emb: jnp.ndarray, qlen: int, klen: int,
 # ---------------------------------------------------------------------------
 
 def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
-                  bias=None, kv_mask=None, causal=False) -> jnp.ndarray:
+                  bias=None, kv_mask=None, causal=False,
+                  rel_bias=None, rel_cfg=None) -> jnp.ndarray:
     q = L.split_heads(x @ p["q"]["w"], heads)
     k = L.split_heads(kv @ p["k"]["w"], heads)
     v = L.split_heads(kv @ p["v"]["w"], heads)
-    a = attention(q, k, v, bias=bias, kv_mask=kv_mask, causal=causal, scale=1.0)
+    a = attention(q, k, v, bias=bias, kv_mask=kv_mask, causal=causal,
+                  scale=1.0, rel_bias=rel_bias, rel_cfg=rel_cfg)
     return L.merge_heads(a) @ p["o"]["w"]
 
 
@@ -128,18 +137,22 @@ def _t5_mlp(p: Params, x: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
     return h @ p["wo"]["w"]
 
 
-def _enc_block(p: Params, x, cfg: T5Config, bias, kv_mask):
+def _enc_block(p: Params, x, cfg: T5Config, bias, kv_mask,
+               rel_bias=None, rel_cfg=None):
     h = L.rms_norm(x, p["ln1"]["scale"], cfg.eps)
-    x = x + _t5_attention(p["attn"], h, h, cfg.num_heads, bias=bias, kv_mask=kv_mask)
+    x = x + _t5_attention(p["attn"], h, h, cfg.num_heads, bias=bias,
+                          kv_mask=kv_mask, rel_bias=rel_bias, rel_cfg=rel_cfg)
     h = L.rms_norm(x, p["ln2"]["scale"], cfg.eps)
     x = x + _t5_mlp(p["mlp"], h, cfg)
     return x
 
 
-def _dec_block(p: Params, x, enc, cfg: T5Config, self_bias, enc_mask, self_mask):
+def _dec_block(p: Params, x, enc, cfg: T5Config, self_bias, enc_mask,
+               self_mask, rel_bias=None, rel_cfg=None):
     h = L.rms_norm(x, p["ln1"]["scale"], cfg.eps)
     x = x + _t5_attention(p["attn"], h, h, cfg.num_heads, bias=self_bias,
-                          kv_mask=self_mask, causal=True)
+                          kv_mask=self_mask, causal=True,
+                          rel_bias=rel_bias, rel_cfg=rel_cfg)
     h = L.rms_norm(x, p["ln_cross"]["scale"], cfg.eps)
     x = x + _t5_attention(p["cross"], h, enc, cfg.num_heads, kv_mask=enc_mask)
     h = L.rms_norm(x, p["ln2"]["scale"], cfg.eps)
@@ -156,12 +169,18 @@ def encode(params: Params, cfg: T5Config, input_embeds: jnp.ndarray,
     """input_embeds: (B, S, d_model) — token embeds, possibly with image
     features spliced in (CLIP-FlanT5). mask: (B, S) bool."""
     enc = params["encoder"]
+    rel_emb = enc["blocks"][0]["attn"]["rel_bias"]  # (buckets, heads)
+    # dense bias feeds the reference path; the flash path recomputes the
+    # bias in-kernel from rel_emb (dead code under jit on the other path)
     bias = compute_position_bias(
-        enc["blocks"][0]["attn"]["rel_bias"], input_embeds.shape[1],
-        input_embeds.shape[1], True, cfg.num_buckets, cfg.max_distance)
+        rel_emb, input_embeds.shape[1], input_embeds.shape[1], True,
+        cfg.num_buckets, cfg.max_distance)
+    rel_cfg = (True, cfg.num_buckets, cfg.max_distance, 0)
+    rb = rel_emb.T if INKERNEL_REL_BIAS else None
     x = input_embeds
     for blk in enc["blocks"]:
-        x = _enc_block(blk, x, cfg, bias, mask)
+        x = _enc_block(blk, x, cfg, bias, mask,
+                       rel_bias=rb, rel_cfg=rel_cfg)
     return L.rms_norm(x, enc["ln_final"]["scale"], cfg.eps)
 
 
@@ -171,11 +190,15 @@ def decode(params: Params, cfg: T5Config, decoder_ids: jnp.ndarray,
     """Teacher-forced decoder pass. Returns logits (B, S_dec, vocab) fp32."""
     dec = params["decoder"]
     x = params["shared_emb"][decoder_ids]
+    rel_emb = dec["blocks"][0]["attn"]["rel_bias"]
     bias = compute_position_bias(
-        dec["blocks"][0]["attn"]["rel_bias"], decoder_ids.shape[1],
-        decoder_ids.shape[1], False, cfg.num_buckets, cfg.max_distance)
+        rel_emb, decoder_ids.shape[1], decoder_ids.shape[1], False,
+        cfg.num_buckets, cfg.max_distance)
+    rel_cfg = (False, cfg.num_buckets, cfg.max_distance, 0)
+    rb = rel_emb.T if INKERNEL_REL_BIAS else None
     for blk in dec["blocks"]:
-        x = _dec_block(blk, x, enc_hidden, cfg, bias, enc_mask, dec_mask)
+        x = _dec_block(blk, x, enc_hidden, cfg, bias, enc_mask, dec_mask,
+                       rel_bias=rb, rel_cfg=rel_cfg)
     x = L.rms_norm(x, dec["ln_final"]["scale"], cfg.eps)
     if cfg.tie_word_embeddings:
         x = x * (cfg.d_model ** -0.5)

@@ -92,9 +92,47 @@ def attention_reference(q, k, v, bias=None, kv_mask=None, causal=False,
 # Pallas flash kernel
 # ---------------------------------------------------------------------------
 
+def _rel_bias_block(rel_vec, row, col, rel_cfg):
+    """T5 relative-position bias computed IN-KERNEL.
+
+    rel_vec: (num_buckets,) f32 — this head's bias-per-bucket column.
+    row/col: (block_q, block_k) global q/k indices.
+    rel_cfg: (bidirectional, num_buckets, max_distance, q_offset) static.
+
+    Replaces streaming a materialized (H, S, S) fp32 bias from HBM into
+    every grid program (for B pairs that re-read is B*H*S^2*4 bytes per
+    layer — the dominant HBM cost of T5 attention) with ~num_buckets
+    VPU selects per tile. Mirrors models/t5.py relative_position_bucket.
+    """
+    import numpy as np
+
+    bidirectional, nb, max_distance, q_offset = rel_cfg
+    rel = col - (row + q_offset)  # memory - query
+    if bidirectional:
+        half = nb // 2
+        b0 = jnp.where(rel > 0, half, 0)
+        r = jnp.abs(rel)
+        nb_eff = half
+    else:
+        b0 = jnp.zeros_like(rel)
+        r = jnp.maximum(-rel, 0)
+        nb_eff = nb
+    max_exact = nb_eff // 2
+    rl = max_exact + (
+        jnp.log(r.astype(jnp.float32) / max_exact + 1e-9)
+        / np.log(max_distance / max_exact) * (nb_eff - max_exact)
+    ).astype(jnp.int32)
+    rl = jnp.minimum(rl, nb_eff - 1)
+    bucket = b0 + jnp.where(r < max_exact, r, rl)
+    bias = jnp.zeros(rel.shape, jnp.float32)
+    for b in range(nb):  # static unroll: bucket-count selects on the VPU
+        bias += jnp.where(bucket == b, rel_vec[b], 0.0)
+    return bias
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
-                  o_ref, m_scr, l_scr, acc_scr, *, scale, causal, sq, sk,
-                  block_q, block_k, local_window=None):
+                  rel_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, causal,
+                  sq, sk, block_q, block_k, local_window=None, rel_cfg=None):
     kb = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -117,6 +155,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
     row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     neg = jnp.float32(NEG_INF)
+    if rel_ref is not None:
+        # select this head's (num_buckets,) bias column without dynamic
+        # VMEM indexing: one-hot over the head axis
+        nh, nb_ = rel_ref.shape
+        hsel = (jax.lax.broadcasted_iota(jnp.int32, (nh, nb_), 0)
+                == pl.program_id(1))
+        rel_vec = jnp.sum(jnp.where(hsel, rel_ref[:], 0.0), axis=0)
+        s = s + _rel_bias_block(rel_vec, row, col, rel_cfg)
     if mask_ref is not None:
         s = jnp.where(mask_ref[0, 0][None, :] != 0, s, neg)
     if segq_ref is not None:
@@ -161,11 +207,18 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "interpret",
-                     "local_window"))
+                     "local_window", "rel_cfg"))
 def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
                     scale=None, block_q=128, block_k=128, interpret=False,
-                    segment_ids=None, local_window=None):
-    """Flash attention via Pallas. Same contract as `attention_reference`."""
+                    segment_ids=None, local_window=None,
+                    rel_bias=None, rel_cfg=None):
+    """Flash attention via Pallas. Same contract as `attention_reference`.
+
+    rel_bias: (H, num_buckets) f32 per-head T5 relative-position bias
+    columns, applied IN-KERNEL via `rel_cfg` = (bidirectional, num_buckets,
+    max_distance, q_offset) — no (H, S, S) bias materialized in HBM.
+    Requires sq == sk. Mutually exclusive with `bias`.
+    """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if scale is None:
@@ -230,6 +283,18 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         in_specs.extend([None, None])
         args.extend([None, None])
 
+    if rel_bias is not None:
+        assert rel_cfg is not None and bias is None and sq == sk
+        assert rel_bias.shape[0] == h
+        # full-array block (equal-to-array dims satisfy TPU tiling); the
+        # kernel selects its head's row with a vectorized one-hot
+        in_specs.append(pl.BlockSpec(rel_bias.shape,
+                                     lambda bi, hi, qi, ki: (0, 0)))
+        args.append(rel_bias.astype(jnp.float32))
+    else:
+        in_specs.append(None)
+        args.append(None)
+
     real_specs = [s for s in in_specs if s is not None]
     real_args = [a for a in args if a is not None]
 
@@ -242,11 +307,13 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         mask_ref = next(it) if kv_mask is not None else None
         segq_ref = next(it) if segment_ids is not None else None
         segk_ref = next(it) if segment_ids is not None else None
+        rel_ref = next(it) if rel_bias is not None else None
         o_ref, m_scr, l_scr, acc_scr = refs[len(real_specs):]
         _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
-                      segk_ref, o_ref, m_scr, l_scr, acc_scr, scale=scale,
-                      causal=causal, sq=sq, sk=sk, block_q=block_q,
-                      block_k=block_k, local_window=local_window)
+                      segk_ref, rel_ref, o_ref, m_scr, l_scr, acc_scr,
+                      scale=scale, causal=causal, sq=sq, sk=sk,
+                      block_q=block_q, block_k=block_k,
+                      local_window=local_window, rel_cfg=rel_cfg)
 
     out = pl.pallas_call(
         kernel,
@@ -276,10 +343,13 @@ def _on_tpu() -> bool:
 
 def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
               impl: str = "auto", segment_ids=None, local_window=None,
-              bidir_ids=None):
+              bidir_ids=None, rel_bias=None, rel_cfg=None):
     """Dispatching attention op.
 
     impl: 'auto' (flash on TPU, reference elsewhere), 'flash', 'reference'.
+    rel_bias/rel_cfg: T5 relative-position bias computed in-kernel on the
+    flash path; on the reference path the caller's dense `bias` is used
+    (pass both — the unused one is dead-code-eliminated under jit).
     """
     if impl == "auto":
         # Flash pays off for longer sequences; tiny shapes keep XLA fusion.
@@ -302,6 +372,13 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
                    else _round_up(max(sq, 8), 8))
         nk = -(-sk // 1024)
         block_k = _round_up(-(-sk // nk), 128) if sk > 128 else _round_up(max(sk, 8), 128)
+        if rel_bias is not None and q.shape[-2] == k.shape[-2]:
+            return flash_attention(q, k, v, kv_mask=kv_mask,
+                                   causal=causal, scale=scale,
+                                   segment_ids=segment_ids,
+                                   local_window=local_window,
+                                   block_q=block_q, block_k=block_k,
+                                   rel_bias=rel_bias, rel_cfg=rel_cfg)
         return flash_attention(q, k, v, bias=bias, kv_mask=kv_mask,
                                causal=causal, scale=scale,
                                segment_ids=segment_ids,

@@ -33,6 +33,46 @@ def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host entry: jax.distributed.initialize (SURVEY.md §2.4).
+
+    On TPU pods the arguments are discovered from the environment; pass
+    them explicitly for CPU/GPU test rigs. Idempotent."""
+    import jax.distributed as jdist
+
+    try:
+        jdist.initialize(coordinator_address=coordinator_address,
+                         num_processes=num_processes,
+                         process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def make_multihost_mesh(dcn: int | None = None, dp: int = 1,
+                        tp: int | None = None, devices=None) -> Mesh:
+    """("dcn", "dp", "tp") mesh: the leading DCN axis spans hosts (slower
+    interconnect — data-parallel only: per-host batch shards, score
+    all-gather), dp/tp ride ICI within a host.
+
+    dcn=None uses jax.process_count(). On a single host this still builds
+    a 3-axis mesh (dcn splits the local devices), which is exactly what
+    the virtual-device dryrun validates: shardings and collectives compile
+    identically whether the dcn axis maps to DCN or ICI.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dcn is None:
+        dcn = max(jax.process_count(), 1)
+    if tp is None:
+        tp = n // (dcn * dp)
+    assert dcn * dp * tp <= n, f"mesh {dcn}x{dp}x{tp} > {n} devices"
+    arr = np.asarray(devices[: dcn * dp * tp]).reshape(dcn, dp, tp)
+    return Mesh(arr, ("dcn", "dp", "tp"))
+
+
 # Param-name -> (out-sharded?) rules. Matched against the joined pytree path.
 _COL_SHARDED = ("attn/q/w", "attn/k/w", "attn/v/w", "cross/q/w", "cross/k/w",
                 "cross/v/w", "mlp/fc1/w", "mlp/wi_0/w", "mlp/wi_1/w",
@@ -94,5 +134,7 @@ def replicated(mesh: Mesh):
 
 
 def data_sharding(mesh: Mesh, ndim: int):
-    """Shard the leading (batch) dim over dp."""
-    return NamedSharding(mesh, P(*(["dp"] + [None] * (ndim - 1))))
+    """Shard the leading (batch) dim over the data axes (dcn+dp when the
+    mesh spans hosts, else dp)."""
+    data_axes = tuple(a for a in ("dcn", "dp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(*((data_axes,) + (None,) * (ndim - 1))))

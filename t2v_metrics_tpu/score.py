@@ -102,6 +102,21 @@ class Score:
         batched = (hasattr(self.model, "forward")
                    and getattr(self.model, "video_mode", "direct") == "direct"
                    or media_key == "images")
+        # Pipelined path: adapters exposing forward_device return an
+        # un-synchronized device array, so chunk k's device compute overlaps
+        # chunk k+1's host preprocessing (jax async dispatch); results are
+        # materialized one chunk behind.
+        use_async = batched and hasattr(self.model, "forward_device")
+        pending = None  # (lo, hi, device array, valid count)
+
+        def _drain():
+            nonlocal pending
+            if pending is not None:
+                plo, phi, dev, cnt = pending
+                scores = np.asarray(dev, np.float32)[:cnt]
+                out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
+                pending = None
+
         for lo in chunks:
             hi = min(lo + batch_size, n)
             samples = [dataset[i] for i in range(lo, hi)]
@@ -114,14 +129,21 @@ class Score:
                         for t in sample["texts"]:
                             pair_media.append(m)
                             pair_text.append(t)
-                scores = np.asarray(
-                    self.model.forward(pair_media, pair_text, **kwargs),
-                    np.float32)
-                out[lo:hi] = scores.reshape(hi - lo, num_media, num_texts)
+                if use_async:
+                    dev, cnt = self.model.forward_device(pair_media,
+                                                         pair_text, **kwargs)
+                    _drain()
+                    pending = (lo, hi, dev, cnt)
+                else:
+                    scores = np.asarray(
+                        self.model.forward(pair_media, pair_text, **kwargs),
+                        np.float32)
+                    out[lo:hi] = scores.reshape(hi - lo, num_media, num_texts)
             else:  # pragma: no cover
                 for i, sample in enumerate(samples):
                     out[lo + i] = self.forward(sample[media_key],
                                                sample["texts"], **kwargs)
+        _drain()
         return out
 
 

@@ -142,3 +142,58 @@ class TestSegmentAttention:
         out = flash_attention(q, q, q, segment_ids=seg, block_q=32, block_k=32,
                               interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestInKernelRelBias:
+    """Flash kernel's in-kernel T5 relative-position bias must match the
+    reference path's materialized bias exactly (same bucket formula)."""
+
+    @pytest.mark.parametrize("bidirectional", [True, False])
+    @pytest.mark.parametrize("s", [48, 160])
+    def test_matches_dense_bias(self, bidirectional, s):
+        import numpy as np
+        from t2v_metrics_tpu.ops.attention import (attention_reference,
+                                                   flash_attention)
+        from t2v_metrics_tpu.models.t5 import compute_position_bias
+
+        rng = np.random.default_rng(0)
+        h, d, nb, md = 4, 32, 32, 128
+        q = jnp.asarray(rng.standard_normal((2, h, s, d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((2, h, s, d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((2, h, s, d), dtype=np.float32))
+        rel_emb = jnp.asarray(rng.standard_normal((nb, h), dtype=np.float32))
+
+        dense = compute_position_bias(rel_emb, s, s, bidirectional, nb, md)
+        ref = attention_reference(q, k, v, bias=dense, scale=1.0,
+                                  causal=not bidirectional)
+        out = flash_attention(q, k, v, scale=1.0, causal=not bidirectional,
+                              rel_bias=rel_emb.T,
+                              rel_cfg=(bidirectional, nb, md, 0),
+                              block_q=32, block_k=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_kv_mask_combination(self):
+        import numpy as np
+        from t2v_metrics_tpu.ops.attention import (attention_reference,
+                                                   flash_attention)
+        from t2v_metrics_tpu.models.t5 import compute_position_bias
+
+        rng = np.random.default_rng(1)
+        h, d, s, nb, md = 2, 16, 64, 32, 128
+        q = jnp.asarray(rng.standard_normal((1, h, s, d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((1, h, s, d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((1, h, s, d), dtype=np.float32))
+        rel_emb = jnp.asarray(rng.standard_normal((nb, h), dtype=np.float32))
+        mask = np.ones((1, s), bool)
+        mask[0, 40:] = False
+
+        dense = compute_position_bias(rel_emb, s, s, True, nb, md)
+        ref = attention_reference(q, k, v, bias=dense, scale=1.0,
+                                  kv_mask=jnp.asarray(mask))
+        out = flash_attention(q, k, v, scale=1.0,
+                              kv_mask=jnp.asarray(mask), rel_bias=rel_emb.T,
+                              rel_cfg=(True, nb, md, 0),
+                              block_q=32, block_k=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

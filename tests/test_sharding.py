@@ -143,3 +143,39 @@ def test_moe_ep_sharding(mesh):
             sharded, embeds)
         out.block_until_ready()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_multihost_mesh_matches_single_device():
+    """("dcn", "dp", "tp") mesh (multi-host scaffolding, SURVEY.md §2.4):
+    process-spanning data sharding + ICI TP must reproduce single-device
+    scores exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from t2v_metrics_tpu.models import clip_flant5 as cft5
+    import __graft_entry__ as ge
+
+    cfg = ge._small_cfg()
+    params = cft5.init_clip_t5(jax.random.PRNGKey(0), cfg)
+    inputs = ge._example_inputs(cfg, m=4, n=2)
+
+    def step(params, pixels, ids, img_mask, img_slot, enc_mask,
+             ans_ids, ans_mask, pair_image, pair_text):
+        feats = cft5.image_features(params, cfg, pixels)
+        return cft5.score_pairs(params, cfg, feats, ids, img_mask, img_slot,
+                                enc_mask, ans_ids, ans_mask,
+                                pair_image, pair_text)
+
+    ref = np.asarray(step(params, *inputs))
+
+    mesh3 = pmesh.make_multihost_mesh(dcn=2, dp=2, tp=2)
+    sharded = pmesh.shard_params(params, mesh3)
+    repl = NamedSharding(mesh3, P())
+    data = pmesh.data_sharding(mesh3, 1)
+    assert data.spec == P(("dcn", "dp"))
+    placed = [jax.device_put(inputs[0], NamedSharding(mesh3, P(("dcn", "dp"))))]
+    placed += [jax.device_put(x, repl) for x in inputs[1:7]]
+    placed += [jax.device_put(x, NamedSharding(mesh3, P(("dcn", "dp"))))
+               for x in inputs[7:]]
+    with mesh3:
+        out = jax.jit(step)(sharded, *placed)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
