@@ -1,7 +1,7 @@
 #!/bin/sh
-# Build libt2vmedia.so (JPEG batch decode + libav video frame extraction).
+# Build libt2vmedia.so (JPEG batch decode + libav video/audio decode).
 set -e
 cd "$(dirname "$0")"
 g++ -O3 -fPIC -shared -std=c++17 -o libt2vmedia.so t2vmedia.cc \
-    -ljpeg -lavformat -lavcodec -lavutil -lswscale -lpthread
+    -ljpeg -lavformat -lavcodec -lavutil -lswscale -lswresample -lpthread
 echo "built $(pwd)/libt2vmedia.so"

@@ -25,6 +25,9 @@
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
 
@@ -222,6 +225,229 @@ int t2v_video_frames(const char* path, const int64_t* indices, int n_indices,
   avcodec_free_context(&ctx);
   avformat_close_input(&fmt);
   return written;
+}
+
+// ---------------------------------------------------------------------------
+// Audio: probe + demux/decode (Qwen3-Omni use_audio_in_video — reference
+// qwen3omni_model.py:140-148 probes with PyAV; decode replaces librosa).
+// ---------------------------------------------------------------------------
+
+// Does the container at `path` carry an audio stream? 1 yes, 0 no, <0 error.
+int t2v_audio_probe(const char* path) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -2;
+  }
+  const int as = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1,
+                                     nullptr, 0);
+  avformat_close_input(&fmt);
+  return as >= 0 ? 1 : 0;
+}
+
+// Decode the (best) audio stream of any container — video or audio file —
+// to mono float32 at `rate` Hz. Writes up to max_samples into `out`.
+// Returns the number of samples written, or <0 on error.
+int64_t t2v_audio_decode(const char* path, int rate, float* out,
+                         int64_t max_samples) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -2;
+  }
+  const int as = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1,
+                                     nullptr, 0);
+  if (as < 0) {
+    avformat_close_input(&fmt);
+    return -3;
+  }
+  AVStream* st = fmt->streams[as];
+  const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(ctx, st->codecpar);
+  if (avcodec_open2(ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return -4;
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  AVChannelLayout in_layout;
+  if (ctx->ch_layout.nb_channels > 0) {
+    av_channel_layout_copy(&in_layout, &ctx->ch_layout);
+  } else {
+    av_channel_layout_default(&in_layout, 1);
+  }
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, rate, &in_layout,
+                          ctx->sample_fmt, ctx->sample_rate, 0,
+                          nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return -5;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+
+  auto drain_frame = [&](AVFrame* f) {
+    if (written >= max_samples) return;
+    uint8_t* dst[1] = {reinterpret_cast<uint8_t*>(out + written)};
+    const int cap = static_cast<int>(max_samples - written);
+    const int got = swr_convert(swr, dst, cap,
+                                f ? const_cast<const uint8_t**>(f->data)
+                                  : nullptr,
+                                f ? f->nb_samples : 0);
+    if (got > 0) written += got;
+  };
+
+  while (written < max_samples && av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == as) {
+      if (avcodec_send_packet(ctx, pkt) == 0) {
+        while (avcodec_receive_frame(ctx, frame) == 0) drain_frame(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  avcodec_send_packet(ctx, nullptr);
+  while (written < max_samples && avcodec_receive_frame(ctx, frame) == 0) {
+    drain_frame(frame);
+  }
+  drain_frame(nullptr);  // flush the resampler
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  swr_free(&swr);
+  avcodec_free_context(&ctx);
+  avformat_close_input(&fmt);
+  return written;
+}
+
+// Test-fixture writer: a small MKV with an mpeg4 video track (solid frames)
+// and a pcm_s16le sine-tone audio track. Lets the test suite exercise the
+// audio-in-video path without an ffmpeg binary in the image.
+int t2v_test_write_av(const char* path, int w, int h, int n_frames, int fps,
+                      int sr) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "matroska", path) < 0)
+    return -1;
+
+  // --- video stream (mpeg4) ---
+  const AVCodec* vcodec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!vcodec) return -2;
+  AVStream* vst = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* vctx = avcodec_alloc_context3(vcodec);
+  vctx->width = w;
+  vctx->height = h;
+  vctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  vctx->time_base = {1, fps};
+  vctx->framerate = {fps, 1};
+  vctx->bit_rate = 200000;
+  vctx->gop_size = 12;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    vctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(vctx, vcodec, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(vst->codecpar, vctx);
+  vst->time_base = vctx->time_base;
+
+  // --- audio stream (pcm_s16le) ---
+  const AVCodec* acodec = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+  if (!acodec) return -4;
+  AVStream* ast = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* actx = avcodec_alloc_context3(acodec);
+  actx->sample_rate = sr;
+  av_channel_layout_default(&actx->ch_layout, 1);
+  actx->sample_fmt = AV_SAMPLE_FMT_S16;
+  actx->time_base = {1, sr};
+  if (avcodec_open2(actx, acodec, nullptr) < 0) return -5;
+  avcodec_parameters_from_context(ast->codecpar, actx);
+  ast->time_base = actx->time_base;
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -6;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) return -7;
+
+  AVPacket* pkt = av_packet_alloc();
+
+  // video frames: moving gray ramp
+  AVFrame* vf = av_frame_alloc();
+  vf->format = AV_PIX_FMT_YUV420P;
+  vf->width = w;
+  vf->height = h;
+  av_frame_get_buffer(vf, 0);
+  for (int i = 0; i < n_frames; ++i) {
+    av_frame_make_writable(vf);
+    memset(vf->data[0], 60 + (i * 13) % 160,
+           static_cast<size_t>(vf->linesize[0]) * h);
+    memset(vf->data[1], 128, static_cast<size_t>(vf->linesize[1]) * h / 2);
+    memset(vf->data[2], 128, static_cast<size_t>(vf->linesize[2]) * h / 2);
+    vf->pts = i;
+    if (avcodec_send_frame(vctx, vf) == 0) {
+      while (avcodec_receive_packet(vctx, pkt) == 0) {
+        av_packet_rescale_ts(pkt, vctx->time_base, vst->time_base);
+        pkt->stream_index = vst->index;
+        av_interleaved_write_frame(fmt, pkt);
+      }
+    }
+  }
+  avcodec_send_frame(vctx, nullptr);
+  while (avcodec_receive_packet(vctx, pkt) == 0) {
+    av_packet_rescale_ts(pkt, vctx->time_base, vst->time_base);
+    pkt->stream_index = vst->index;
+    av_interleaved_write_frame(fmt, pkt);
+  }
+
+  // audio: 440 Hz sine for the full duration, 1024-sample chunks
+  const int64_t total = static_cast<int64_t>(sr) * n_frames / fps;
+  AVFrame* af = av_frame_alloc();
+  int64_t t = 0;
+  while (t < total) {
+    const int n = static_cast<int>(std::min<int64_t>(1024, total - t));
+    // av_frame_unref clears format fields — re-set them every chunk
+    af->format = AV_SAMPLE_FMT_S16;
+    av_channel_layout_default(&af->ch_layout, 1);
+    af->sample_rate = sr;
+    af->nb_samples = n;
+    if (av_frame_get_buffer(af, 0) < 0) break;
+    av_frame_make_writable(af);
+    int16_t* smp = reinterpret_cast<int16_t*>(af->data[0]);
+    for (int i = 0; i < n; ++i) {
+      smp[i] = static_cast<int16_t>(
+          12000.0 * sin(2.0 * 3.14159265358979 * 440.0 * (t + i) / sr));
+    }
+    af->pts = t;
+    t += n;
+    if (avcodec_send_frame(actx, af) == 0) {
+      while (avcodec_receive_packet(actx, pkt) == 0) {
+        av_packet_rescale_ts(pkt, actx->time_base, ast->time_base);
+        pkt->stream_index = ast->index;
+        av_interleaved_write_frame(fmt, pkt);
+      }
+    }
+    av_frame_unref(af);
+  }
+  avcodec_send_frame(actx, nullptr);
+  while (avcodec_receive_packet(actx, pkt) == 0) {
+    av_packet_rescale_ts(pkt, actx->time_base, ast->time_base);
+    pkt->stream_index = ast->index;
+    av_interleaved_write_frame(fmt, pkt);
+  }
+
+  av_write_trailer(fmt);
+  av_frame_free(&vf);
+  av_frame_free(&af);
+  av_packet_free(&pkt);
+  avcodec_free_context(&vctx);
+  avcodec_free_context(&actx);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
 }
 
 }  // extern "C"

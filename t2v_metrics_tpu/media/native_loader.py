@@ -53,6 +53,18 @@ def _load():
         lib.t2v_video_frames.argtypes = [ctypes.c_char_p,
                                          ctypes.POINTER(ctypes.c_int64),
                                          ctypes.c_int, ctypes.c_void_p]
+        try:  # audio entry points (newer builds)
+            lib.t2v_audio_probe.restype = ctypes.c_int
+            lib.t2v_audio_probe.argtypes = [ctypes.c_char_p]
+            lib.t2v_audio_decode.restype = ctypes.c_int64
+            lib.t2v_audio_decode.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                             ctypes.c_void_p, ctypes.c_int64]
+            lib.t2v_test_write_av.restype = ctypes.c_int
+            lib.t2v_test_write_av.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                              ctypes.c_int, ctypes.c_int,
+                                              ctypes.c_int, ctypes.c_int]
+        except AttributeError:  # pragma: no cover — stale .so
+            pass
         _LIB = lib
         return lib
 
@@ -111,6 +123,41 @@ def video_info(path: str):
     fps = info[3] / max(info[4], 1)
     return {"total_frames": int(info[0]), "width": int(info[1]),
             "height": int(info[2]), "fps": float(fps)}
+
+
+def has_audio(path: str) -> bool:
+    """Does the container carry an audio stream? (reference
+    qwen3omni_model.py:140-148 probes with PyAV). False on any failure."""
+    lib = _load()
+    if not lib or not hasattr(lib, "t2v_audio_probe"):
+        return False
+    return lib.t2v_audio_probe(str(path).encode()) == 1
+
+
+def decode_audio(path: str, rate: int = 16000,
+                 max_seconds: float = 300.0) -> np.ndarray | None:
+    """Demux+decode the audio stream of any container (video or audio
+    file) to mono float32 at `rate` Hz. None when unavailable/absent."""
+    lib = _load()
+    if not lib or not hasattr(lib, "t2v_audio_decode"):
+        return None
+    max_samples = int(rate * max_seconds)
+    out = np.empty((max_samples,), np.float32)
+    n = lib.t2v_audio_decode(str(path).encode(), rate,
+                             out.ctypes.data_as(ctypes.c_void_p), max_samples)
+    if n <= 0:
+        return None
+    return out[:n].copy()
+
+
+def write_test_av(path: str, w: int = 64, h: int = 48, n_frames: int = 20,
+                  fps: int = 10, sr: int = 16000) -> bool:
+    """Test-fixture MKV (mpeg4 video + pcm sine audio). True on success."""
+    lib = _load()
+    if not lib or not hasattr(lib, "t2v_test_write_av"):
+        return False
+    return lib.t2v_test_write_av(str(path).encode(), w, h, n_frames, fps,
+                                 sr) == 0
 
 
 def video_frames(path: str, indices) -> np.ndarray | None:

@@ -31,23 +31,30 @@ from . import decoder as dec
 
 
 def load_audio_mel(path, cfg: qa.AudioEncoderConfig) -> np.ndarray:
-    """Audio file -> (mel_bins, T) Whisper-style log-mel features.
+    """Audio source -> (mel_bins, T) Whisper-style log-mel features.
 
-    WAV via the stdlib; other formats need soundfile/librosa (reference
-    uses librosa at 16 kHz).
+    The native libav decoder handles ANY container — audio files and the
+    audio tracks of videos (use_audio_in_video) — resampled to mono 16 kHz
+    (reference uses librosa/process_mm_info at 16 kHz). Falls back to the
+    stdlib wave module for .wav when the native library is unavailable.
     """
-    import wave
+    from ..media import native_loader
 
-    with wave.open(str(path), "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        raw = np.frombuffer(w.readframes(n), dtype=np.int16)
-        if w.getnchannels() > 1:
-            raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
-        audio = raw.astype(np.float32) / 32768.0
-    if sr != 16000:  # naive resample (linear) — parity path uses 16k input
-        idx = np.linspace(0, len(audio) - 1, int(len(audio) * 16000 / sr))
-        audio = np.interp(idx, np.arange(len(audio)), audio).astype(np.float32)
+    audio = native_loader.decode_audio(path, 16000)
+    if audio is None:
+        import wave
+
+        with wave.open(str(path), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = np.frombuffer(w.readframes(n), dtype=np.int16)
+            if w.getnchannels() > 1:
+                raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
+            audio = raw.astype(np.float32) / 32768.0
+        if sr != 16000:  # naive resample (linear) — parity path uses 16k
+            idx = np.linspace(0, len(audio) - 1, int(len(audio) * 16000 / sr))
+            audio = np.interp(idx, np.arange(len(audio)),
+                              audio).astype(np.float32)
 
     from transformers import WhisperFeatureExtractor
 
@@ -70,6 +77,9 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         spec = qo.QWEN3_OMNI_MODELS[self.model_name]
         self.config = self.kwargs.get("config") or qo.resolve_config(self.model_name)
         self.fps_default = 8.0
+        # reference qwen3omni_model.py:57/:65 — ctor default True; videos
+        # with an audio track get their audio demuxed and scored too
+        self.use_audio_in_video = self.kwargs.get("use_audio_in_video", True)
         dtype = self.kwargs.get("dtype") or _default_dtype()
         cfg = self.config
 
@@ -163,7 +173,13 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
     def _assemble_content(self, path, audio, question):
         """Chat-template ids + (token, feats, deepstack, grid, is_video)
         content blocks for one sample (reference qwen3omni_model.py:85-118
-        content dicts + :150-181 input prep)."""
+        content dicts + :150-181 input prep).
+
+        use_audio_in_video: when the visual is a video carrying an audio
+        track (native libav probe — reference :140-148 uses PyAV), the
+        track is demuxed and an audio block follows the vision block (the
+        reference's processor interleaves by timestamp; block-level
+        placement is the documented simplification)."""
         cfg = self.config
         feats_list, ids = [], []
         ids += self._encode_text("<|im_start|>system\nYou are a helpful "
@@ -175,6 +191,11 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
             ids += [cfg.vision_start_token_id] + [tok] * n_vis \
                 + [cfg.vision_end_token_id]
             feats_list.append((tok, vfeats, vds, grid, is_video))
+            if is_video and audio is None and self.use_audio_in_video:
+                from ..media import native_loader
+
+                if native_loader.has_audio(path):
+                    audio = path  # demux the video's own track below
         if audio is not None:
             afeats = self._encode_audio(audio)
             ids += [cfg.audio_start_token_id] \

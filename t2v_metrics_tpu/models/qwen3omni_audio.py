@@ -115,6 +115,9 @@ def audio_encoder(p: Params, cfg: AudioEncoderConfig,
                   ) -> jnp.ndarray:
     """-> (N*chunk_tokens, output_dim); caller gathers the valid slots."""
     n = mel_chunks.shape[0]
+    # compute in the weight dtype (lax.conv requires matching dtypes; also
+    # keeps the encoder on the bf16 MXU path)
+    mel_chunks = mel_chunks.astype(p["conv1"]["w"].dtype)
     x = mel_chunks[:, None]                               # (N, 1, F, T)
     x = jax.nn.gelu(_conv2d(x, p["conv1"]["w"], p["conv1"]["b"]), approximate=False)
     x = jax.nn.gelu(_conv2d(x, p["conv2"]["w"], p["conv2"]["b"]), approximate=False)

@@ -67,3 +67,59 @@ def test_video_info_and_frames(tmp_path):
     # constant-valued frames: mean should track the written intensity
     means = out.reshape(3, -1).mean(axis=1)
     assert means[0] < means[1] < means[2]
+
+
+class TestNativeAudio:
+    """Audio demux/decode + the Qwen3-Omni use_audio_in_video path
+    (reference qwen3omni_model.py:140-181)."""
+
+    @pytest.fixture(scope="class")
+    def av_video(self, tmp_path_factory):
+        from t2v_metrics_tpu.media import native_loader as nl
+
+        if not nl.native_available() or not hasattr(nl._load(),
+                                                    "t2v_test_write_av"):
+            pytest.skip("native media library unavailable")
+        p = str(tmp_path_factory.mktemp("av") / "clip.mkv")
+        assert nl.write_test_av(p, 64, 48, 20, 10, 16000)
+        return p
+
+    def test_probe_and_decode(self, av_video, tmp_path):
+        import cv2
+        from t2v_metrics_tpu.media import native_loader as nl
+
+        assert nl.has_audio(av_video)
+        audio = nl.decode_audio(av_video, 16000)
+        assert audio is not None and audio.dtype == np.float32
+        assert abs(len(audio) - 32000) < 1600  # ~2s at 16kHz
+        # 440 Hz sine at amplitude 12000/32768
+        assert 0.3 < np.abs(audio).max() < 0.45
+        # silent cv2 mp4 -> no audio stream
+        q = str(tmp_path / "noaud.mp4")
+        vw = cv2.VideoWriter(q, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+        for _ in range(5):
+            vw.write(np.zeros((48, 64, 3), np.uint8))
+        vw.release()
+        assert not nl.has_audio(q)
+
+    def test_omni_scores_video_with_own_audio(self, av_video):
+        """The omni adapter must demux and splice the video's own audio
+        track (use_audio_in_video)."""
+        import t2v_metrics_tpu as t2v
+        from t2v_metrics_tpu.models import qwen3omni as qo
+
+        scorer = t2v.VQAScore(model="qwen3-omni-test")
+        ad = scorer.model
+        ids, feats_list = ad._assemble_content(av_video, None, "Any sound?")
+        toks = [tok for tok, *_ in feats_list]
+        assert ad.config.video_token_id in toks
+        assert ad.config.audio_token_id in toks, \
+            "audio track was not demuxed into an audio block"
+        s = scorer(images=[av_video], texts=["a tone plays"])
+        assert s.shape == (1, 1) and 0.0 <= float(s[0, 0]) <= 1.0
+
+        # kwarg off -> no audio block
+        off = t2v.VQAScore(model="qwen3-omni-test", use_audio_in_video=False)
+        ids2, fl2 = off.model._assemble_content(av_video, None, "Any sound?")
+        assert off.model.config.audio_token_id not in [t for t, *_ in fl2]
