@@ -163,6 +163,8 @@ class CLIPT5Adapter(VQAScoreModel):
                 params = self._load_from_hf(spec["hf_repo"], cfg, dtype)
 
         tokenizer = self.kwargs.get("tokenizer")
+        if isinstance(tokenizer, str):  # local tokenizer dir (cold path)
+            tokenizer = load_hf_tokenizer(tokenizer)
         if tokenizer is None:
             if spec["tokenizer"]:
                 try:
@@ -181,7 +183,20 @@ class CLIPT5Adapter(VQAScoreModel):
             max_pairs_per_call=self.kwargs.get("max_pairs_per_call", 128))
 
     def _load_checkpoint(self, path, cfg, dtype):
-        from .checkpoint import load_params
+        """Local checkpoint dir: either a native npz tree (manifest.json)
+        or an HF-style multi-shard safetensors layout streamed tensor-by-
+        tensor (BASELINE cold path — no hub, bounded host RAM)."""
+        import glob
+
+        from .checkpoint import load_params, load_safetensors_dict
+
+        if glob.glob(os.path.join(path, "*.safetensors")):
+            sd = load_safetensors_dict(path)
+            return cft5.convert_clip_t5(sd, cfg, dtype)
+        if not os.path.exists(os.path.join(path, "manifest.json")):
+            raise RuntimeError(
+                f"{path!r} is neither an HF safetensors checkpoint "
+                "(*.safetensors) nor a native npz tree (manifest.json)")
         return load_params(path, dtype=dtype)
 
     def _load_from_hf(self, repo, cfg, dtype):

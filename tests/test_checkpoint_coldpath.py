@@ -1,0 +1,171 @@
+"""BASELINE cold path: load CLIP-FlanT5 from a staged local directory —
+multi-shard safetensors weights + a real on-disk tokenizer — with zero
+hub access (VERDICT round-2 item 8).
+
+Stages a tiny LLaVA-layout checkpoint (the key layout
+models/clip_flant5.convert_clip_t5 documents: T5 keys + nested
+``encoder.vision_tower.vision_tower.vision_model.*`` tower +
+``encoder.mm_projector.{0,2}.*``), split across three safetensors shards,
+plus a tokenizers-built tokenizer.json, and scores end-to-end via
+``VQAScore(..., checkpoint=dir, tokenizer=dir)``.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from transformers import CLIPVisionConfig as HFVC, CLIPVisionModel
+from transformers import T5Config as HFT5C, T5ForConditionalGeneration
+
+from t2v_metrics_tpu.models import clip_flant5 as cft5
+from t2v_metrics_tpu.models import clip as jclip
+from t2v_metrics_tpu.models import t5 as jt5
+
+IMG_SIZE, PATCH = 28, 14
+N_IMG_TOK = (IMG_SIZE // PATCH) ** 2
+
+CFG = cft5.CLIPT5Config(
+    t5=jt5.T5Config(vocab_size=200, d_model=48, d_kv=12, d_ff=96,
+                    num_heads=4, enc_layers=2, dec_layers=2, num_buckets=8,
+                    max_distance=20),
+    vision=jclip.CLIPVisionConfig(image_size=IMG_SIZE, patch_size=PATCH,
+                                  width=32, layers=3, heads=4, mlp_dim=64,
+                                  proj_dim=32),
+    num_image_tokens=N_IMG_TOK)
+
+
+def _hf_state_dict():
+    torch.manual_seed(7)
+    hf_vis = CLIPVisionModel(HFVC(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=IMG_SIZE, patch_size=PATCH,
+        hidden_act="quick_gelu")).eval()
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(32, 48), torch.nn.GELU(),
+        torch.nn.Linear(48, 48)).eval()
+    hf_t5 = T5ForConditionalGeneration(HFT5C(
+        vocab_size=200, d_model=48, d_kv=12, d_ff=96, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1)).eval()
+
+    sd = {k: v.detach().numpy() for k, v in hf_t5.state_dict().items()}
+    for k, v in hf_vis.state_dict().items():
+        kk = k if k.startswith("vision_model") else f"vision_model.{k}"
+        sd[f"encoder.vision_tower.vision_tower.{kk}"] = v.detach().numpy()
+    sd["encoder.mm_projector.0.weight"] = proj[0].weight.detach().numpy()
+    sd["encoder.mm_projector.0.bias"] = proj[0].bias.detach().numpy()
+    sd["encoder.mm_projector.2.weight"] = proj[2].weight.detach().numpy()
+    sd["encoder.mm_projector.2.bias"] = proj[2].bias.detach().numpy()
+    return sd
+
+
+def _stage_checkpoint(sd, ckpt_dir):
+    """Write sd as THREE safetensors shards + index json (HF layout)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    keys = sorted(sd)
+    shards = [keys[i::3] for i in range(3)]
+    weight_map = {}
+    for i, shard_keys in enumerate(shards):
+        name = f"model-{i+1:05d}-of-00003.safetensors"
+        save_file({k: np.ascontiguousarray(sd[k]) for k in shard_keys},
+                  os.path.join(ckpt_dir, name))
+        weight_map.update({k: name for k in shard_keys})
+    with open(os.path.join(ckpt_dir, "model.safetensors.index.json"),
+              "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+
+
+def _stage_tokenizer(tok_dir):
+    """Build a real on-disk fast tokenizer (tokenizer.json) with the T5
+    special-token layout: pad=0, </s>=1 appended by the post-processor."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+
+    os.makedirs(tok_dir, exist_ok=True)
+    words = ("Does this figure show a photo of cat dog bird ? Please answer "
+             "Yes No . yes no is a an the").split()
+    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2}
+    for w in words:
+        if w not in vocab:
+            vocab[w] = len(vocab)
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="$A </s>", pair="$A </s> $B </s>",
+        special_tokens=[("</s>", 1)])
+    tok.save(os.path.join(tok_dir, "tokenizer.json"))
+    with open(os.path.join(tok_dir, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                   "eos_token": "</s>", "pad_token": "<pad>",
+                   "unk_token": "<unk>", "model_max_length": 512}, f)
+
+
+def test_cold_path_end_to_end(tmp_path):
+    import t2v_metrics_tpu as t2v
+
+    sd = _hf_state_dict()
+    ckpt = str(tmp_path / "ckpt")
+    tokd = str(tmp_path / "tok")
+    _stage_checkpoint(sd, ckpt)
+    _stage_tokenizer(tokd)
+
+    import jax.numpy as jnp
+
+    scorer = t2v.VQAScore(model="clip-flant5-xl", config=CFG,
+                          checkpoint=ckpt, tokenizer=tokd,
+                          dtype=jnp.float32)
+    # the tokenizer really is the staged fast tokenizer
+    assert scorer.model.engine.tokenizer.__class__.__name__ \
+        == "PreTrainedTokenizerFast"
+    assert scorer.model.engine.tokenizer("a cat").input_ids[-1] == 1  # </s>
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+    s = scorer(images=[img], texts=["a photo of a cat"])
+    assert s.shape == (1, 1) and 0.0 <= float(s[0, 0]) <= 1.0
+
+    # the staged weights must match a direct conversion of the same sd
+    class _T:
+        def __init__(self, a):
+            self.a = a
+
+        def detach(self):
+            return self
+
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return self.a
+
+    import jax.numpy as jnp2
+
+    direct = cft5.convert_clip_t5({k: _T(v) for k, v in sd.items()}, CFG,
+                                  dtype=jnp2.float32)
+    from t2v_metrics_tpu.engine.scoring import CLIPT5Engine
+
+    eng2 = CLIPT5Engine(direct, CFG, scorer.model.engine.tokenizer)
+    s2 = eng2.score_matrix([img], ["a photo of a cat"])
+    np.testing.assert_allclose(np.asarray(s), s2, rtol=1e-5, atol=1e-7)
+
+
+def test_cold_path_native_npz(tmp_path):
+    """checkpoint= also accepts the native npz tree format."""
+    import jax
+    import t2v_metrics_tpu as t2v
+    from t2v_metrics_tpu.models.checkpoint import save_params, load_params
+
+    params = cft5.init_clip_t5(jax.random.PRNGKey(3), CFG)
+    path = str(tmp_path / "native")
+    save_params(params, path)
+    scorer = t2v.VQAScore(model="clip-flant5-xl", config=CFG, checkpoint=path)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    s = scorer(images=[img], texts=["a dog"])
+    assert s.shape == (1, 1) and 0.0 <= float(s[0, 0]) <= 1.0
