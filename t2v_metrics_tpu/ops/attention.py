@@ -131,8 +131,9 @@ def _rel_bias_block(rel_vec, row, col, rel_cfg):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
-                  rel_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, causal,
-                  sq, sk, block_q, block_k, local_window=None, rel_cfg=None):
+                  rel_ref, bidirq_ref, bidirk_ref, o_ref, m_scr, l_scr,
+                  acc_scr, *, scale, causal, sq, sk, block_q, block_k,
+                  local_window=None, rel_cfg=None):
     kb = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -174,7 +175,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
         keep = col - (sk - sq) <= row
         if local_window is not None:
             keep = keep & (col - (sk - sq) > row - local_window)
+        if bidirq_ref is not None:
+            # bidirectional image-group overlay (Gemma3/PaliGemma): same
+            # non-negative group id attends both ways, overriding the
+            # causal/window structure (HF or-mask semantics)
+            bq = bidirq_ref[0, 0]
+            bk = bidirk_ref[0, 0]
+            same = (bq[:, None] == bk[None, :]) & (bq[:, None] >= 0)
+            keep = keep | same
         s = jnp.where(keep, s, neg)
+    elif bidirq_ref is not None:
+        # no causal structure: the overlay alone adds nothing
+        pass
 
     m_prev = m_scr[:, :1]                              # (block_q, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)          # (block_q, 1)
@@ -211,7 +223,7 @@ def _round_up(x: int, m: int) -> int:
 def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
                     scale=None, block_q=128, block_k=128, interpret=False,
                     segment_ids=None, local_window=None,
-                    rel_bias=None, rel_cfg=None):
+                    rel_bias=None, rel_cfg=None, bidir_ids=None):
     """Flash attention via Pallas. Same contract as `attention_reference`.
 
     rel_bias: (H, num_buckets) f32 per-head T5 relative-position bias
@@ -295,6 +307,22 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         in_specs.append(None)
         args.append(None)
 
+    if bidir_ids is not None:
+        assert sq == sk and (causal or local_window is not None), \
+            "bidir_ids overlays a causal/window mask"
+        bidp = jnp.pad(bidir_ids.astype(jnp.int32),
+                       ((0, 0), (0, sk_pad - sk)),
+                       constant_values=-1)[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, block_q),
+                                     lambda bi, hi, qi, ki: (bi, 0, qi)))
+        args.append(bidp)
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda bi, hi, qi, ki: (bi, 0, ki)))
+        args.append(bidp)
+    else:
+        in_specs.extend([None, None])
+        args.extend([None, None])
+
     real_specs = [s for s in in_specs if s is not None]
     real_args = [a for a in args if a is not None]
 
@@ -308,11 +336,13 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         segq_ref = next(it) if segment_ids is not None else None
         segk_ref = next(it) if segment_ids is not None else None
         rel_ref = next(it) if rel_bias is not None else None
+        bidirq_ref = next(it) if bidir_ids is not None else None
+        bidirk_ref = next(it) if bidir_ids is not None else None
         o_ref, m_scr, l_scr, acc_scr = refs[len(real_specs):]
         _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
-                      segk_ref, rel_ref, o_ref, m_scr, l_scr, acc_scr,
-                      scale=scale, causal=causal, sq=sq, sk=sk,
-                      block_q=block_q, block_k=block_k,
+                      segk_ref, rel_ref, bidirq_ref, bidirk_ref, o_ref,
+                      m_scr, l_scr, acc_scr, scale=scale, causal=causal,
+                      sq=sq, sk=sk, block_q=block_q, block_k=block_k,
                       local_window=local_window, rel_cfg=rel_cfg)
 
     out = pl.pallas_call(
@@ -355,8 +385,9 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
         # Flash pays off for longer sequences; tiny shapes keep XLA fusion.
         impl = "flash" if (_on_tpu() and q.shape[-2] * k.shape[-2] > 128 * 128
                            and pltpu is not None) else "reference"
-    if bidir_ids is not None:
-        # bidirectional overlays run on the XLA path (flash support planned)
+    if bidir_ids is not None and (impl != "flash"
+                                  or not (causal or local_window)):
+        # flash handles bidir only as an overlay on a causal/window mask
         return attention_reference(q, k, v, bias=bias, kv_mask=kv_mask,
                                    causal=causal, scale=scale,
                                    segment_ids=segment_ids,
@@ -383,7 +414,8 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
                                causal=causal, scale=scale,
                                segment_ids=segment_ids,
                                local_window=local_window,
-                               block_q=block_q, block_k=block_k)
+                               block_q=block_q, block_k=block_k,
+                               bidir_ids=bidir_ids)
     return attention_reference(q, k, v, bias=bias, kv_mask=kv_mask,
                                causal=causal, scale=scale,
                                segment_ids=segment_ids,

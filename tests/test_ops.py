@@ -197,3 +197,71 @@ class TestInKernelRelBias:
                               block_q=32, block_k=32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestFlashBidirOverlay:
+    """Bidirectional image-group overlay inside the flash kernel
+    (Gemma3/PaliGemma scoring moves off the XLA fallback)."""
+
+    @pytest.mark.parametrize("window", [None, 16])
+    def test_matches_reference(self, window):
+        import numpy as np
+        from t2v_metrics_tpu.ops.attention import (attention_reference,
+                                                   flash_attention)
+
+        rng = np.random.default_rng(0)
+        b, h, s, d = 2, 2, 96, 16
+        q = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+        # two image blocks per row + text elsewhere
+        bidir = np.full((b, s), -1, np.int32)
+        bidir[:, 8:24] = 0
+        bidir[:, 40:56] = 1
+        kv_mask = np.ones((b, s), bool)
+        # cut must leave every query row >= 1 valid in-window key: rows past
+        # the cut are fully masked otherwise (flash yields 0, reference a
+        # meaningless uniform average — both garbage, not comparable)
+        kv_mask[1, 88:] = False
+
+        ref = attention_reference(q, k, v, causal=True,
+                                  kv_mask=jnp.asarray(kv_mask),
+                                  local_window=window,
+                                  bidir_ids=jnp.asarray(bidir))
+        out = flash_attention(q, k, v, causal=True,
+                              kv_mask=jnp.asarray(kv_mask),
+                              local_window=window,
+                              bidir_ids=jnp.asarray(bidir),
+                              block_q=32, block_k=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_dispatch_uses_flash_on_causal_bidir(self):
+        """attention() must not force the reference path for causal+bidir
+        when flash is requested."""
+        import numpy as np
+        from t2v_metrics_tpu.ops import attention as A
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((1, 2, 64, 16), dtype=np.float32))
+        bidir = np.full((1, 64), -1, np.int32)
+        bidir[0, 4:12] = 0
+        called = {}
+        orig = A.flash_attention
+
+        def spy(*a, **kw):
+            called["flash"] = True
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        A.flash_attention = spy
+        try:
+            out = A.attention(q, q, q, causal=True,
+                              bidir_ids=jnp.asarray(bidir), impl="flash")
+        finally:
+            A.flash_attention = orig
+        assert called.get("flash"), "causal+bidir fell back to reference"
+        ref = A.attention_reference(q, q, q, causal=True,
+                                    bidir_ids=jnp.asarray(bidir))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
