@@ -108,6 +108,55 @@ class CachedLM:
         return gen, dists
 
 
+def trace_from_rollout(gen, dists, answer_ids, special_ids, decode,
+                       score_position: str = "end"):
+    """Reference trace contract (qwen2vl_model.py:303-493): score the
+    answer tokens at the start or end of a greedy rollout and return
+    (geometric-mean prob, trace dict with per-token top-5 alternatives)."""
+    assert score_position in ("start", "end")
+    n_ans = len(answer_ids)
+    ans = list(answer_ids)
+    if score_position == "start":
+        start, offset = 0, 0
+    else:
+        offset = 1 if (gen and gen[-1] in special_ids) else 0
+        if offset:
+            n_ans = min(n_ans, len(dists) - 1)
+        start = max(len(gen) - n_ans - offset, 0)
+    n_ans = min(n_ans, len(dists) - start)
+    ans = ans[:n_ans]
+
+    joint = 1.0
+    details = []
+    for i in range(n_ans):
+        dist = dists[start + i]
+        tid = ans[i]
+        prob = float(dist[tid])
+        joint *= prob
+        top = np.argsort(dist)[::-1][:5]
+        details.append({
+            "position": start + i,
+            "expected_token_id": tid,
+            "expected_token_text": decode([tid]),
+            "probability": prob,
+            "top_alternatives": [
+                {"token_id": int(t), "token_text": decode([int(t)]),
+                 "probability": float(dist[t])} for t in top],
+        })
+    gm = joint ** (1.0 / max(n_ans, 1))
+    trace = {
+        "generated_text": decode(gen),
+        "generated_length": len(gen),
+        "score_position": score_position,
+        "score_start_idx": start,
+        "scored_indices": list(range(start, start + n_ans)),
+        "scored_tokens_text": decode(gen[start:start + n_ans]),
+        "probability": gm,
+        "token_details": details,
+    }
+    return gm, trace
+
+
 def score_rollout(dists, gen, answer_ids, special_ids,
                   warn=print) -> float:
     """End-aligned rollout scoring (reference gemma4_model.py:185-228 and

@@ -380,6 +380,8 @@ class Qwen2VLAdapter(VQAScoreModel):
         arrays, prompt_lens = self._prepare_pairs(images, questions, fps)
         ids, feats, vis_mask, vis_slot, pos, attn = arrays
 
+        from .generation import trace_from_rollout
+
         decode = getattr(self.tokenizer, "decode", lambda x: str(x))
         lm_probs, traces = [], []
         for j in range(len(images)):
@@ -387,47 +389,11 @@ class Qwen2VLAdapter(VQAScoreModel):
                 ids[j], feats[j], vis_mask[j], vis_slot[j], pos[:, j],
                 prompt_lens[j], max_new_tokens, temperature)
             ans = self._encode_text(answers[j])
-            n_ans = len(ans)
-            special = {self.eos_token_id}
-            if score_position == "start":
-                start, offset = 0, 0
-            else:
-                offset = 1 if (gen and gen[-1] in special) else 0
-                if offset:
-                    n_ans = min(n_ans, len(dists) - 1)
-                start = max(len(gen) - n_ans - offset, 0)
-            n_ans = min(n_ans, len(dists) - start)
-            ans = ans[:n_ans]
-
-            joint = 1.0
-            details = []
-            for i in range(n_ans):
-                dist = dists[start + i]
-                tid = ans[i]
-                prob = float(dist[tid])
-                joint *= prob
-                top = np.argsort(dist)[::-1][:5]
-                details.append({
-                    "position": start + i,
-                    "expected_token_id": tid,
-                    "expected_token_text": decode([tid]),
-                    "probability": prob,
-                    "top_alternatives": [
-                        {"token_id": int(t), "token_text": decode([int(t)]),
-                         "probability": float(dist[t])} for t in top],
-                })
-            gm = joint ** (1.0 / max(n_ans, 1))
+            gm, trace = trace_from_rollout(gen, dists, ans,
+                                           {self.eos_token_id}, decode,
+                                           score_position)
             lm_probs.append(gm)
-            traces.append({
-                "generated_text": decode(gen),
-                "generated_length": len(gen),
-                "score_position": score_position,
-                "score_start_idx": start,
-                "scored_indices": list(range(start, start + n_ans)),
-                "scored_tokens_text": decode(gen[start:start + n_ans]),
-                "probability": gm,
-                "token_details": details,
-            })
+            traces.append(trace)
         return np.asarray(lm_probs, np.float32), traces
 
     def generate(self, images, texts, fps=None, max_new_tokens: int = 128,

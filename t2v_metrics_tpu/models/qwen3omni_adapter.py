@@ -326,65 +326,114 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         audio_paths = audio_paths or [None] * len(texts)
 
         outs = []
-        n_ds = len(cfg.vision.deepstack_indexes)
         for path, audio, text in zip(images, audio_paths, texts):
-            ids, feats_list = self._assemble_content(path, audio, text)
-            n = len(ids)
-            s = _bucket(n, SEQ_BUCKETS)
-            d = cfg.text.d_model
-            t_max = max(sum(f.shape[0] for _, f, _, _, _ in feats_list), 1)
-
-            ids_arr = np.zeros((1, s), np.int64)
-            ids_arr[0, :n] = ids
-            splice_mask = np.zeros((1, s), bool)
-            vis_mask = np.zeros((1, s), bool)
-            splice_slot = np.zeros((1, s), np.int64)
-            feats = np.zeros((1, t_max, d), np.float32)
-            deepstack = np.zeros((n_ds, 1, t_max, d), np.float32)
-            row = 0
-            grids = [g for _, _, _, g, _ in feats_list if g is not None]
-            for tok, f, ds, _, _ in feats_list:
-                mask = ids_arr[0] == tok
-                mask[n:] = False
-                splice_mask[0] |= mask
-                if ds is not None:
-                    vis_mask[0] |= mask
-                    for lvl, dsf in enumerate(ds):
-                        deepstack[lvl, 0, row:row + f.shape[0]] = dsf
-                splice_slot[0][mask] = row + np.arange(mask.sum())
-                feats[0, row:row + f.shape[0]] = f
-                row += f.shape[0]
-
-            rope_cfg = q2.Qwen2VLConfig(
-                vision=q2.QwenVisionConfig(
-                    merge_size=cfg.vision.merge_size, tokens_per_second=1),
-                text=cfg.text, image_token_id=cfg.image_token_id,
-                video_token_id=cfg.video_token_id,
-                vision_start_token_id=cfg.vision_start_token_id)
-            pos = np.zeros((3, 1, s), np.int64)
-            pos[:, 0, :n] = q2.build_rope_index(
-                np.asarray(ids), grids, rope_cfg,
-                second_per_grid_ts=[1.0] * len(grids))
-            last = pos[:, 0, n - 1].max()
-            pos[:, 0, n:] = last  # pads (invalid slots)
-
-            embed = self.params["decoder"]["embed"]
-            tok_emb = embed[jnp.asarray(ids_arr)]
-            spl = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
-                                      jnp.asarray(splice_slot)[..., None],
-                                      axis=1)
-            embeds = jnp.where(jnp.asarray(splice_mask)[..., None], spl,
-                               tok_emb)
-            ds_list = []
-            vm = jnp.asarray(vis_mask)[..., None]
-            for lvl in range(n_ds):
-                dsl = jnp.take_along_axis(
-                    jnp.asarray(deepstack[lvl], embed.dtype),
-                    jnp.asarray(splice_slot)[..., None], axis=1)
-                ds_list.append(jnp.where(vm, dsl, 0.0))
-
-            gen, _ = self._lm.greedy(self.params["decoder"], embeds, pos, n,
-                                     max_new_tokens, eos_ids=eos,
-                                     deepstack=ds_list or None)
+            gen, _ = self._rollout_sample(path, audio, text, max_new_tokens,
+                                          eos)
             outs.append(decode_text(self.tokenizer, gen, eos))
         return outs
+
+    def _rollout_sample(self, path, audio, text, max_new_tokens, eos,
+                        temperature: float = 1.0):
+        """One sample -> KV-cached greedy rollout (gen ids, step dists):
+        content assembly + deepstack prefill + M-RoPE steps."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            from .generation import CachedLM
+
+            self._lm = CachedLM(cfg.text)
+        n_ds = len(cfg.vision.deepstack_indexes)
+        ids, feats_list = self._assemble_content(path, audio, text)
+        n = len(ids)
+        s = _bucket(n, SEQ_BUCKETS)
+        d = cfg.text.d_model
+        t_max = max(sum(f.shape[0] for _, f, _, _, _ in feats_list), 1)
+
+        ids_arr = np.zeros((1, s), np.int64)
+        ids_arr[0, :n] = ids
+        splice_mask = np.zeros((1, s), bool)
+        vis_mask = np.zeros((1, s), bool)
+        splice_slot = np.zeros((1, s), np.int64)
+        feats = np.zeros((1, t_max, d), np.float32)
+        deepstack = np.zeros((n_ds, 1, t_max, d), np.float32)
+        row = 0
+        grids = [g for _, _, _, g, _ in feats_list if g is not None]
+        for tok, f, ds, _, _ in feats_list:
+            mask = ids_arr[0] == tok
+            mask[n:] = False
+            splice_mask[0] |= mask
+            if ds is not None:
+                vis_mask[0] |= mask
+                for lvl, dsf in enumerate(ds):
+                    deepstack[lvl, 0, row:row + f.shape[0]] = dsf
+            splice_slot[0][mask] = row + np.arange(mask.sum())
+            feats[0, row:row + f.shape[0]] = f
+            row += f.shape[0]
+
+        rope_cfg = q2.Qwen2VLConfig(
+            vision=q2.QwenVisionConfig(
+                merge_size=cfg.vision.merge_size, tokens_per_second=1),
+            text=cfg.text, image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id)
+        pos = np.zeros((3, 1, s), np.int64)
+        pos[:, 0, :n] = q2.build_rope_index(
+            np.asarray(ids), grids, rope_cfg,
+            second_per_grid_ts=[1.0] * len(grids))
+        last = pos[:, 0, n - 1].max()
+        pos[:, 0, n:] = last  # pads (invalid slots)
+
+        embed = self.params["decoder"]["embed"]
+        tok_emb = embed[jnp.asarray(ids_arr)]
+        spl = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                  jnp.asarray(splice_slot)[..., None],
+                                  axis=1)
+        embeds = jnp.where(jnp.asarray(splice_mask)[..., None], spl,
+                           tok_emb)
+        ds_list = []
+        vm = jnp.asarray(vis_mask)[..., None]
+        for lvl in range(n_ds):
+            dsl = jnp.take_along_axis(
+                jnp.asarray(deepstack[lvl], embed.dtype),
+                jnp.asarray(splice_slot)[..., None], axis=1)
+            ds_list.append(jnp.where(vm, dsl, 0.0))
+
+        return self._lm.greedy(self.params["decoder"], embeds, pos, n,
+                               max_new_tokens, eos_ids=eos,
+                               temperature=temperature,
+                               deepstack=ds_list or None)
+
+    def forward_with_trace(self, images, texts, audio_paths=None, fps=None,
+                           question_template: str = 'Does this figure show "{}"? Please answer Yes or No.',
+                           answer_template: str = "Yes",
+                           max_new_tokens: int = 1, temperature: float = 1.0,
+                           score_position: str = "end", debug: bool = False):
+        """Reference trace contract for the omni family
+        (qwen3omni_model.py supports_trace; schema README.md:335-360)."""
+        from .generation import CachedLM, trace_from_rollout
+
+        assert len(images) == len(texts)
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text)
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        audio_paths = audio_paths or [None] * len(texts)
+        eos = {self.eos_token_id} - {None}
+        decode = getattr(self.tokenizer, "decode", lambda x: str(x))
+        lm_probs, traces = [], []
+        for path, audio, q_, a_ in zip(images, audio_paths, questions,
+                                       answers):
+            gen, dists = self._rollout_sample(path, audio, q_,
+                                              max_new_tokens, eos,
+                                              temperature)
+            gm, trace = trace_from_rollout(gen, dists,
+                                           self._encode_text(a_), eos,
+                                           decode, score_position)
+            lm_probs.append(gm)
+            traces.append(trace)
+        import numpy as np
+
+        return np.asarray(lm_probs, np.float32), traces

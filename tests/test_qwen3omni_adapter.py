@@ -82,3 +82,24 @@ def test_video_scoring(scorer, media):
 
 def test_allows_audio_attr(scorer):
     assert scorer.model.allows_audio is True
+
+
+def test_forward_with_trace(tmp_path):
+    """Omni trace contract (reference supports_trace; schema
+    README.md:335-360) — previously inherited a Qwen2VL path that could
+    not assemble omni inputs."""
+    from PIL import Image
+    import t2v_metrics_tpu as t2v
+
+    rng = np.random.default_rng(0)
+    img = str(tmp_path / "i.png")
+    Image.fromarray(rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)).save(img)
+
+    scorer = t2v.VQAScore(model="qwen3-omni-test")
+    probs, traces = scorer.model.forward_with_trace([img], ["a cat"])
+    assert probs.shape == (1,) and 0.0 <= float(probs[0]) <= 1.0
+    t = traces[0]
+    assert set(t) >= {"generated_text", "generated_length", "score_position",
+                      "scored_indices", "probability", "token_details"}
+    assert len(t["token_details"][0]["top_alternatives"]) == 5
+    assert abs(t["probability"] - float(probs[0])) < 1e-9
