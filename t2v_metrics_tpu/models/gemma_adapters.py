@@ -246,6 +246,8 @@ class Gemma3Adapter(_GemmaBase):
         if not hasattr(self, "_lm"):
             self._lm = CachedLM(cfg.text, embed_scale=cfg.text.d_model ** 0.5)
         eos = self._eos_ids()
+        if do_sample is None:
+            do_sample = temperature > 0
         outs = []
         for path, text in zip(images, texts):
             ids, px = self._assemble(path, text, num_frames)
@@ -273,9 +275,12 @@ class Gemma3Adapter(_GemmaBase):
             bidir_full = np.full((1, s + max_new_tokens), -1, np.int32)
             bidir_full[0, :s] = self._group_ids_np(vis_mask[0])
             pos = np.broadcast_to(np.arange(s)[None], (1, s)).copy()
-            gen, _ = self._lm.greedy(self.params["decoder"], embeds, pos, n,
-                                     max_new_tokens, eos_ids=eos,
-                                     bidir_full=bidir_full)
+            gen, _ = self._lm.greedy(
+                self.params["decoder"], embeds, pos, n, max_new_tokens,
+                eos_ids=eos, bidir_full=bidir_full,
+                sample=bool(do_sample and temperature > 0),
+                temperature=temperature if do_sample and temperature > 0 else 1.0,
+                top_p=top_p)
             outs.append(decode_text(self.tokenizer, gen, eos))
         return outs
 
@@ -472,7 +477,7 @@ class Gemma4Adapter(Gemma3Adapter):
         return self._eos_ids()
 
     def _rollout(self, path, question, num_frames, max_new_tokens,
-                 temperature=1.0):
+                 temperature=1.0, sample=False, top_p=0.9):
         """Shared greedy rollout: returns (gen ids, per-step dists)."""
         cfg = self.config
         if not hasattr(self, "_lm"):
@@ -503,7 +508,8 @@ class Gemma4Adapter(Gemma3Adapter):
         return self._lm.greedy(self.params["decoder"], embeds, pos, n,
                                max_new_tokens, eos_ids=self._eos_ids(),
                                temperature=temperature,
-                               bidir_full=bidir_full)
+                               bidir_full=bidir_full, sample=sample,
+                               top_p=top_p)
 
     def forward(self, images, texts, num_frames: int = 10, fps=None,
                 question_template: str = DEFAULT_QUESTION,
@@ -528,9 +534,14 @@ class Gemma4Adapter(Gemma3Adapter):
         """Greedy generate; thinking blocks stripped like the reference's
         processor.parse_response (gemma4_model.py:276-281)."""
         assert len(images) == len(texts)
+        if do_sample is None:
+            do_sample = temperature > 0
+        sample = bool(do_sample and temperature > 0)
         outs = []
         for path, text in zip(images, texts):
-            gen, _ = self._rollout(path, text, num_frames, max_new_tokens)
+            gen, _ = self._rollout(path, text, num_frames, max_new_tokens,
+                                   temperature if sample else 1.0,
+                                   sample=sample, top_p=top_p)
             eos = self._eos_ids()
             raw_ids = [i for i in gen if i not in eos]
             decode = getattr(self.tokenizer, "decode", lambda x: str(x))

@@ -52,8 +52,11 @@ class CachedLM:
 
     def greedy(self, params_dec, embeds, pos, n_prompt: int,
                max_new_tokens: int, eos_ids=(), temperature: float = 1.0,
-               bidir_full=None, deepstack=None):
-        """Generate up to max_new_tokens greedily.
+               bidir_full=None, deepstack=None, sample: bool = False,
+               top_p: float = 0.9, rng=None):
+        """Generate up to max_new_tokens (greedy, or nucleus sampling when
+        sample=True — the reference adapters' do_sample/temperature/top_p
+        contract, e.g. gemma3_model.py:261-277).
 
         embeds: (1, S, D) prefill embeddings (S >= n_prompt, padded ok);
         pos: (1, S) int positions or (3, 1, S) M-RoPE streams;
@@ -90,10 +93,15 @@ class CachedLM:
         dist = jax.nn.softmax(logits[0, n_prompt - 1] / t)
 
         eos_ids = {e for e in eos_ids if e is not None}
+        if sample and rng is None:
+            rng = np.random.default_rng()
         gen, dists = [], []
         for step in range(max_new_tokens):
             dists.append(np.asarray(dist, np.float32))
-            nxt = int(np.argmax(dists[-1]))
+            if sample:
+                nxt = int(_nucleus_sample(dists[-1], top_p, rng))
+            else:
+                nxt = int(np.argmax(dists[-1]))
             gen.append(nxt)
             if nxt in eos_ids or step == max_new_tokens - 1:
                 break
@@ -106,6 +114,19 @@ class CachedLM:
                                       bidir, None)
             dist = jax.nn.softmax(logits[0, 0] / t)
         return gen, dists
+
+
+def _nucleus_sample(dist: np.ndarray, top_p: float, rng) -> int:
+    """Top-p (nucleus) sampling over an fp32 softmax distribution (HF
+    semantics: keep the smallest prefix of descending-prob tokens whose
+    cumulative mass reaches top_p, renormalize, sample)."""
+    order = np.argsort(dist)[::-1]
+    sorted_p = dist[order]
+    cum = np.cumsum(sorted_p)
+    cut = int(np.searchsorted(cum, top_p) + 1)
+    keep = order[:cut]
+    p = dist[keep] / dist[keep].sum()
+    return int(rng.choice(keep, p=p))
 
 
 def trace_from_rollout(gen, dists, answer_ids, special_ids, decode,

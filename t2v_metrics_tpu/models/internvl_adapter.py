@@ -211,7 +211,7 @@ class InternVLAdapter(VQAScoreModel):
         return ids
 
     def generate(self, images, texts, num_frames: int = 16,
-                 max_new_tokens: int = 1024, do_sample: bool = False,
+                 max_new_tokens: int = 1024, do_sample=None,
                  temperature: float = 0.0, **kw) -> list[str]:
         """Greedy continuation. Videos become 'Frame{i}: <image>' blocks of
         one tile each; images a single dynamically-tiled <image>."""
@@ -220,6 +220,8 @@ class InternVLAdapter(VQAScoreModel):
         if not hasattr(self, "_lm"):
             self._lm = CachedLM(cfg.text)
         eos = self._eos_ids()
+        if do_sample is None:
+            do_sample = temperature > 0
         outs = []
         for path, question in zip(images, texts):
             is_video = isinstance(path, str) and \
@@ -254,7 +256,9 @@ class InternVLAdapter(VQAScoreModel):
                                       jnp.asarray(vis_slot)[..., None], axis=1)
             embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
             pos = np.broadcast_to(np.arange(s)[None], (1, s)).copy()
-            gen, _ = self._lm.greedy(self.params["decoder"], embeds, pos, n,
-                                     max_new_tokens, eos_ids=eos)
+            gen, _ = self._lm.greedy(
+                self.params["decoder"], embeds, pos, n, max_new_tokens,
+                eos_ids=eos, sample=bool(do_sample and temperature > 0),
+                temperature=temperature if do_sample and temperature > 0 else 1.0)
             outs.append(decode_text(self.tokenizer, gen, eos))
         return outs

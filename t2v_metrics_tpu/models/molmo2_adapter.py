@@ -116,7 +116,8 @@ class Molmo2Adapter(VQAScoreModel):
                                   mode="linspace")
         return [image_loader(path)]
 
-    def _rollout(self, path, question, max_new_tokens, temperature=1.0):
+    def _rollout(self, path, question, max_new_tokens, temperature=1.0,
+                 sample=False, top_p=0.9):
         cfg = self.config
         frames = self._frames_for(path)
         px = np.stack([_clip_preprocess(f, cfg.vision.image_size)
@@ -147,7 +148,8 @@ class Molmo2Adapter(VQAScoreModel):
         pos = np.broadcast_to(np.arange(s)[None], (1, s)).copy()
         return self._lm.greedy(self.params["decoder"], embeds, pos, n,
                                max_new_tokens, eos_ids=self._eos_ids(),
-                               temperature=temperature)
+                               temperature=temperature, sample=sample,
+                               top_p=top_p)
 
     def forward(self, images, texts, fps=None,
                 question_template: str = DEFAULT_QUESTION,
@@ -175,8 +177,13 @@ class Molmo2Adapter(VQAScoreModel):
                  temperature: float = 0.0, do_sample=None,
                  top_p: float = 0.9, **kw) -> list[str]:
         assert len(images) == len(texts)
+        if do_sample is None:
+            do_sample = temperature > 0
+        sample = bool(do_sample and temperature > 0)
         outs = []
         for path, text in zip(images, texts):
-            gen, _ = self._rollout(path, text, max_new_tokens)
+            gen, _ = self._rollout(path, text, max_new_tokens,
+                                   temperature if sample else 1.0,
+                                   sample=sample, top_p=top_p)
             outs.append(decode_text(self.tokenizer, gen, self._special_ids()))
         return outs

@@ -334,6 +334,24 @@ def splice_and_score(params: Params, cfg: Qwen2VLConfig,
     return tok_logp.sum(-1) / jnp.maximum(ans_mask.sum(-1), 1)
 
 
+def splice_and_answer_dists(params: Params, cfg: Qwen2VLConfig,
+                            ids, vis_feats, vis_mask, vis_slot,
+                            position_ids, attn_mask, ans_pos,
+                            temperature: float = 1.0) -> jnp.ndarray:
+    """Teacher-forced per-answer-token softmax distributions (B, A, V) —
+    the forward_with_trace_teacher_forcing path (the reference's
+    test_teacher_vs_rollout.py harness targets a method absent from the
+    v3.1 checkout; rebuilt here)."""
+    tok = params["decoder"]["embed"][ids]
+    vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1)
+    embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
+    logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
+                            attn_mask)
+    sel = jnp.take_along_axis(logits, ans_pos[..., None, None].squeeze(-1),
+                              axis=1)
+    return jax.nn.softmax(sel / temperature, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Init / convert
 # ---------------------------------------------------------------------------

@@ -94,6 +94,10 @@ class Qwen2VLAdapter(VQAScoreModel):
             lambda p, *a, temperature: q.splice_and_score(
                 p, cfg, *a, temperature=temperature),
             static_argnames=("temperature",))
+        self._tf_dists_jit = jax.jit(
+            lambda p, *a, temperature: q.splice_and_answer_dists(
+                p, cfg, *a, temperature=temperature),
+            static_argnames=("temperature",))
         self._logits_jit = jax.jit(
             lambda p, embeds, pos, mask: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask)[0])
@@ -320,7 +324,7 @@ class Qwen2VLAdapter(VQAScoreModel):
 
     def _greedy_steps(self, ids_row, feats, vis_mask, vis_slot, pos_row,
                       n_prompt, max_new_tokens, temperature=1.0,
-                      deepstack=None):
+                      deepstack=None, sample=False, top_p=0.9, rng=None):
         """KV-cached greedy generation for one sequence.
 
         One bucketed prefill writes the prompt's k/v into a static cache;
@@ -351,9 +355,16 @@ class Qwen2VLAdapter(VQAScoreModel):
         dist = jax.nn.softmax(logits[0, n_prompt - 1] / temperature)
         last_pos = int(pos_row[:, n_prompt - 1].max())
 
+        if sample and rng is None:
+            rng = np.random.default_rng()
         for step in range(max_new_tokens):
             dists.append(np.asarray(dist, np.float32))
-            nxt = int(np.argmax(dists[-1]))
+            if sample:
+                from .generation import _nucleus_sample
+
+                nxt = int(_nucleus_sample(dists[-1], top_p, rng))
+            else:
+                nxt = int(np.argmax(dists[-1]))
             gen.append(nxt)
             if (self.eos_token_id is not None and nxt == self.eos_token_id) \
                     or step == max_new_tokens - 1:
@@ -396,12 +407,68 @@ class Qwen2VLAdapter(VQAScoreModel):
             traces.append(trace)
         return np.asarray(lm_probs, np.float32), traces
 
+    def forward_with_trace_teacher_forcing(
+            self, images, texts, fps=None,
+            question_template: str = DEFAULT_QWEN_QUESTION,
+            answer_template: str = DEFAULT_QWEN_ANSWER,
+            temperature: float = 1.0, debug: bool = False):
+        """Trace probabilities via TEACHER FORCING instead of a rollout.
+
+        The reference's test_teacher_vs_rollout.py (:21-50) asserts this
+        method agrees with forward_with_trace to <1e-6 — the method itself
+        is absent from the v3.1 checkout (SURVEY.md §3.4 'aspirational/
+        lost API'); rebuilt here. Same trace schema, scored_indices over
+        the forced answer tokens.
+        """
+        from .generation import trace_from_rollout
+
+        assert len(images) == len(texts)
+        questions = [question_template.format(t) for t in texts]
+        answers = [answer_template.format(t) for t in texts]
+        arrays, prompt_lens = self._prepare_pairs(images, questions, fps)
+        ids, feats, vis_mask, vis_slot, pos, attn = arrays
+
+        ans_tok = [self._encode_text(a) for a in answers]
+        a_max = max(len(a) for a in ans_tok)
+        p = len(images)
+        s = ids.shape[1]
+        full_ids = ids.copy()
+        ans_pos = np.zeros((p, a_max), np.int64)
+        for j, (a, n) in enumerate(zip(ans_tok, prompt_lens)):
+            full_ids[j, n:n + len(a)] = a
+            attn[j, n:n + len(a)] = True
+            ans_pos[j, : len(a)] = n - 1 + np.arange(len(a))
+            last = pos[:, j, n - 1].max()
+            for i in range(len(a)):
+                pos[:, j, n + i] = last + 1 + i
+
+        dists = self._tf_dists_jit(
+            self.params, jnp.asarray(full_ids), jnp.asarray(feats),
+            jnp.asarray(vis_mask), jnp.asarray(vis_slot), jnp.asarray(pos),
+            jnp.asarray(attn), jnp.asarray(ans_pos),
+            temperature=float(temperature))
+        dists = np.asarray(dists, np.float32)
+
+        decode = getattr(self.tokenizer, "decode", lambda x: str(x))
+        lm_probs, traces = [], []
+        for j in range(p):
+            a = ans_tok[j]
+            gm, trace = trace_from_rollout(
+                list(a), [dists[j, i] for i in range(len(a))], a,
+                {self.eos_token_id}, decode, score_position="start")
+            lm_probs.append(gm)
+            traces.append(trace)
+        return np.asarray(lm_probs, np.float32), traces
+
     def generate(self, images, texts, fps=None, max_new_tokens: int = 128,
                  temperature: float = 0.0, do_sample=None, top_p: float = 0.9,
                  **kw) -> list[str]:
-        """Free-form continuation (reference qwen2vl_model.py:495-563).
-        Greedy only in this build; sampling args accepted for API compat."""
+        """Free-form continuation (reference qwen2vl_model.py:495-563):
+        greedy, or nucleus sampling when do_sample/temperature>0."""
         assert len(images) == len(texts)
+        if do_sample is None:
+            do_sample = temperature > 0
+        sample = bool(do_sample and temperature > 0)
         arrays, prompt_lens = self._prepare_pairs(images, list(texts), fps)
         ids, feats, vis_mask, vis_slot, pos, attn = arrays
         decode = getattr(self.tokenizer, "decode", lambda x: str(x))
@@ -409,7 +476,9 @@ class Qwen2VLAdapter(VQAScoreModel):
         for j in range(len(images)):
             gen, _ = self._greedy_steps(
                 ids[j], feats[j], vis_mask[j], vis_slot[j], pos[:, j],
-                prompt_lens[j], max_new_tokens)
+                prompt_lens[j], max_new_tokens,
+                temperature=temperature if sample else 1.0,
+                sample=sample, top_p=top_p)
             if gen and self.eos_token_id is not None and gen[-1] == self.eos_token_id:
                 gen = gen[:-1]
             outs.append(decode(gen).strip())

@@ -295,6 +295,30 @@ def vision_tower(params: Params, cfg: Qwen3VisionConfig,
     return out, deepstack
 
 
+def splice_and_answer_dists(params: Params, cfg: Qwen3VLConfig,
+                            ids, stacked_feats, vis_mask, vis_slot,
+                            position_ids, attn_mask, ans_pos,
+                            temperature: float = 1.0) -> jnp.ndarray:
+    """Teacher-forced per-answer-token softmax dists (B, A, V), deepstack
+    residuals included (forward_with_trace_teacher_forcing path).
+
+    stacked_feats: (B, 1+n_ds, T, D) — main level + deepstack levels."""
+    main = stacked_feats[:, 0]
+    tok = params["decoder"]["embed"][ids]
+    vis = jnp.take_along_axis(main, vis_slot[..., None], axis=1)
+    embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
+    ds_list = []
+    for level in range(1, stacked_feats.shape[1]):
+        d = jnp.take_along_axis(stacked_feats[:, level],
+                                vis_slot[..., None], axis=1)
+        ds_list.append(jnp.where(vis_mask[..., None], d, 0.0))
+    logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
+                            attn_mask, deepstack=ds_list or None)
+    sel = jnp.take_along_axis(logits, ans_pos[..., None, None].squeeze(-1),
+                              axis=1)
+    return jax.nn.softmax(sel / temperature, axis=-1)
+
+
 def splice_and_score(params: Params, cfg: Qwen3VLConfig,
                      ids, vis_feats, deepstack_feats, vis_mask, vis_slot,
                      position_ids, attn_mask, ans_ids, ans_pos, ans_mask,

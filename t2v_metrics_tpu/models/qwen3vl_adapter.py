@@ -70,6 +70,10 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             lambda p, *a, temperature: q3.splice_and_score(
                 p, cfg, *a, temperature=temperature),
             static_argnames=("temperature",))
+        self._tf_dists_jit = jax.jit(
+            lambda p, *a, temperature: q3.splice_and_answer_dists(
+                p, cfg, *a, temperature=temperature),
+            static_argnames=("temperature",))
         self._logits_jit = jax.jit(
             lambda p, embeds, pos, mask: dec.forward(
                 p["decoder"], cfg.text, embeds, pos, mask)[0])
@@ -239,7 +243,7 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
 
     def _greedy_steps(self, ids_row, feats, vis_mask, vis_slot, pos_row,
                       n_prompt, max_new_tokens, temperature=1.0,
-                      deepstack=None):
+                      deepstack=None, **kw):
         """Greedy steps with the deepstack residuals applied at prefill.
 
         feats here is the stacked (1+n_ds, T, D) array per sequence; the
@@ -257,4 +261,4 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
         return super()._greedy_steps(ids_row, main, vis_mask, vis_slot,
                                      pos_row, n_prompt, max_new_tokens,
                                      temperature,
-                                     deepstack=ds_list or None)
+                                     deepstack=ds_list or None, **kw)

@@ -121,3 +121,27 @@ def test_paligemma_generate_includes_prompt(image):
     out = scorer.model.generate(images=[image], texts=["caption en"],
                                 max_new_tokens=3)
     assert isinstance(out[0], str)
+
+
+def test_nucleus_sampling(image):
+    """do_sample + temperature produces valid output; top_p=tiny collapses
+    to greedy (the nucleus keeps only the argmax)."""
+    import numpy as np
+    from t2v_metrics_tpu.models.generation import _nucleus_sample
+
+    rng = np.random.default_rng(0)
+    dist = np.array([0.7, 0.2, 0.07, 0.03], np.float32)
+    # tiny top_p -> only the top token survives
+    assert all(_nucleus_sample(dist, 0.01, rng) == 0 for _ in range(5))
+    # top_p=0.9 -> tokens 0..2 possible, token 3 never
+    draws = {_nucleus_sample(dist, 0.9, rng) for _ in range(200)}
+    assert 3 not in draws and 0 in draws
+
+    scorer = t2v.VQAScore(model="gemma-3-test")
+    out = scorer.model.generate(images=[image], texts=["Describe."],
+                                max_new_tokens=4, do_sample=True,
+                                temperature=0.8, top_p=0.95)
+    assert isinstance(out[0], str)
+    out2 = scorer.model.generate(images=[image], texts=["Describe."],
+                                 max_new_tokens=4, temperature=0.0)
+    assert isinstance(out2[0], str)

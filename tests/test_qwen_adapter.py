@@ -97,3 +97,26 @@ def test_forward_start_trace_matches_forward(scorer, media):
     _, traces = scorer.model.forward_with_trace([img], ["a cat"],
                                                 score_position="start")
     np.testing.assert_allclose(s[0], traces[0]["probability"], rtol=1e-4)
+
+
+def test_teacher_forcing_matches_rollout(tmp_path):
+    """The reference's test_teacher_vs_rollout.py harness (:37-50) asserts
+    |rollout - teacher-forced| < 1e-6 for single-token answers; the target
+    method is absent from the v3.1 checkout and rebuilt here."""
+    from PIL import Image
+    import t2v_metrics_tpu as t2v
+
+    rng = np.random.default_rng(0)
+    img = str(tmp_path / "i.png")
+    Image.fromarray(rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)).save(img)
+
+    for name in ("qwen2.5-vl-test", "qwen3-vl-test"):
+        scorer = t2v.VQAScore(model=name)
+        p_roll, tr_roll = scorer.model.forward_with_trace([img], ["a cat"])
+        p_tf, tr_tf = scorer.model.forward_with_trace_teacher_forcing(
+            [img], ["a cat"])
+        assert abs(float(p_roll[0]) - float(p_tf[0])) < 1e-5, name
+        d_r = tr_roll[0]["token_details"][0]
+        d_t = tr_tf[0]["token_details"][0]
+        assert d_r["expected_token_id"] == d_t["expected_token_id"]
+        assert abs(d_r["probability"] - d_t["probability"]) < 1e-5
