@@ -103,13 +103,22 @@ def load_batch(paths, size: int, mean=CLIP_MEAN, std=CLIP_STD,
     images = [None] * len(paths)
     jpeg_idx = [i for i, p in enumerate(paths)
                 if isinstance(p, str) and p.lower().endswith((".jpg", ".jpeg"))]
-    if jpeg_idx:
+    png_idx = [i for i, p in enumerate(paths)
+               if isinstance(p, str) and p.lower().endswith(".png")]
+    if jpeg_idx or png_idx:
         from . import native_loader
 
         if native_loader.native_available():
-            bufs = [open(paths[i], "rb").read() for i in jpeg_idx]
-            for i, arr in zip(jpeg_idx, native_loader.decode_jpeg_batch(bufs)):
-                images[i] = arr
+            if jpeg_idx:
+                bufs = [open(paths[i], "rb").read() for i in jpeg_idx]
+                for i, arr in zip(jpeg_idx,
+                                  native_loader.decode_jpeg_batch(bufs)):
+                    images[i] = arr
+            if png_idx:
+                bufs = [open(paths[i], "rb").read() for i in png_idx]
+                for i, arr in zip(png_idx,
+                                  native_loader.decode_png_batch(bufs)):
+                    images[i] = arr
     for i, p in enumerate(paths):
         if images[i] is None:
             images[i] = image_loader(p)

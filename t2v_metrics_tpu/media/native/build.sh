@@ -3,5 +3,5 @@
 set -e
 cd "$(dirname "$0")"
 g++ -O3 -fPIC -shared -std=c++17 -o libt2vmedia.so t2vmedia.cc \
-    -ljpeg -lavformat -lavcodec -lavutil -lswscale -lswresample -lpthread
+    -ljpeg -lpng -lavformat -lavcodec -lavutil -lswscale -lswresample -lpthread
 echo "built $(pwd)/libt2vmedia.so"

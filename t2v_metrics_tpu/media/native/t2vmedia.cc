@@ -20,6 +20,7 @@
 #include <atomic>
 
 #include <jpeglib.h>
+#include <png.h>
 #include <csetjmp>
 
 extern "C" {
@@ -80,9 +81,110 @@ int decode_one_jpeg(const uint8_t* data, size_t len, uint8_t* out,
   return 0;
 }
 
+struct PngReadState {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+  PngReadState* st = reinterpret_cast<PngReadState*>(png_get_io_ptr(png));
+  if (st->pos + n > st->len) {
+    png_error(png, "short read");
+    return;
+  }
+  memcpy(out, st->data + st->pos, n);
+  st->pos += n;
+}
+
+// Decode one PNG buffer to RGB8 (palette/gray/alpha normalized); 0 on
+// success.
+int decode_one_png(const uint8_t* data, size_t len, uint8_t* out,
+                   int* out_w, int* out_h, int max_w, int max_h) {
+  if (len < 8 || png_sig_cmp(data, 0, 8) != 0) return 1;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return 1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return 1;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 1;
+  }
+  PngReadState st{data, len, 0};
+  png_set_read_fn(png, &st, png_read_fn);
+  png_read_info(png, info);
+  const int w = static_cast<int>(png_get_image_width(png, info));
+  const int h = static_cast<int>(png_get_image_height(png, info));
+  if (w > max_w || h > max_h) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+  // normalize every color type to 8-bit RGB (PIL convert("RGB") parity:
+  // alpha is stripped, not composited — PIL drops the alpha channel too)
+  png_set_strip_16(png);
+  png_set_packing(png);
+  const int ct = png_get_color_type(png, info);
+  if (ct == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (ct == PNG_COLOR_TYPE_GRAY || ct == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  std::vector<png_bytep> rows(h);
+  const int stride = w * 3;
+  for (int y = 0; y < h; ++y) rows[y] = out + static_cast<size_t>(y) * stride;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out_w = w;
+  *out_h = h;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode `n` PNG buffers in parallel (same contract as
+// t2v_decode_jpeg_batch). Returns number of failures.
+int t2v_decode_png_batch(const uint8_t** datas, const size_t* lens, int n,
+                         uint8_t* out, int* out_dims, int max_w, int max_h,
+                         int num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 4;
+  }
+  std::atomic<int> next(0), failures(0);
+  const size_t slot = static_cast<size_t>(max_w) * max_h * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      int w = 0, h = 0;
+      const int rc =
+          decode_one_png(datas[i], lens[i], out + slot * i, &w, &h,
+                         max_w, max_h);
+      if (rc != 0) {
+        failures.fetch_add(1);
+        out_dims[2 * i] = 0;
+        out_dims[2 * i + 1] = 0;
+      } else {
+        out_dims[2 * i] = h;
+        out_dims[2 * i + 1] = w;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  const int nt = std::min(num_threads, n);
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
 
 // Decode `n` JPEG buffers in parallel.
 //  datas/lens:  per-image encoded buffers

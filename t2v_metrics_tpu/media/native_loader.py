@@ -53,7 +53,10 @@ def _load():
         lib.t2v_video_frames.argtypes = [ctypes.c_char_p,
                                          ctypes.POINTER(ctypes.c_int64),
                                          ctypes.c_int, ctypes.c_void_p]
-        try:  # audio entry points (newer builds)
+        try:  # PNG + audio entry points (newer builds)
+            lib.t2v_decode_png_batch.restype = ctypes.c_int
+            lib.t2v_decode_png_batch.argtypes = \
+                lib.t2v_decode_jpeg_batch.argtypes
             lib.t2v_audio_probe.restype = ctypes.c_int
             lib.t2v_audio_probe.argtypes = [ctypes.c_char_p]
             lib.t2v_audio_decode.restype = ctypes.c_int64
@@ -73,14 +76,10 @@ def native_available() -> bool:
     return bool(_load())
 
 
-def decode_jpeg_batch(buffers: list[bytes], max_w: int = 8192,
-                      max_h: int = 8192, num_threads: int = 0):
-    """Decode a batch of JPEG byte buffers -> list of (H, W, 3) uint8.
-
-    Uses the native thread pool; falls back to PIL when unavailable.
-    """
+def _decode_batch(fn_name: str, buffers: list[bytes], max_w: int,
+                  max_h: int, num_threads: int):
     lib = _load()
-    if not lib:
+    if not lib or not hasattr(lib, fn_name):
         from PIL import Image
         import io
 
@@ -94,7 +93,7 @@ def decode_jpeg_batch(buffers: list[bytes], max_w: int = 8192,
     lens = (ctypes.c_size_t * n)(*[arr.size for arr in keep])
     out = np.empty((n, max_h, max_w, 3), np.uint8)
     dims = (ctypes.c_int * (2 * n))()
-    lib.t2v_decode_jpeg_batch(
+    getattr(lib, fn_name)(
         ctypes.cast(datas, ctypes.POINTER(ctypes.c_void_p)), lens, n,
         out.ctypes.data_as(ctypes.c_void_p), dims, max_w, max_h, num_threads)
     results = []
@@ -110,6 +109,24 @@ def decode_jpeg_batch(buffers: list[bytes], max_w: int = 8192,
             results.append(np.ascontiguousarray(
                 out[i].reshape(-1)[: h * w * 3].reshape(h, w, 3)))
     return results
+
+
+def decode_jpeg_batch(buffers: list[bytes], max_w: int = 8192,
+                      max_h: int = 8192, num_threads: int = 0):
+    """Decode a batch of JPEG byte buffers -> list of (H, W, 3) uint8.
+
+    Uses the native thread pool; falls back to PIL when unavailable.
+    """
+    return _decode_batch("t2v_decode_jpeg_batch", buffers, max_w, max_h,
+                         num_threads)
+
+
+def decode_png_batch(buffers: list[bytes], max_w: int = 8192,
+                     max_h: int = 8192, num_threads: int = 0):
+    """Decode a batch of PNG byte buffers -> list of (H, W, 3) uint8
+    (palette/gray/alpha normalized to RGB like PIL convert('RGB'))."""
+    return _decode_batch("t2v_decode_png_batch", buffers, max_w, max_h,
+                         num_threads)
 
 
 def video_info(path: str):

@@ -44,6 +44,111 @@ class CachedLM:
 
         self._fwd = jax.jit(fwd)
 
+    def greedy_batch(self, params_dec, embeds, pos, n_prompts,
+                     max_new_tokens: int, eos_id: int | None = None,
+                     bidir_full=None, deepstack=None):
+        """Batched greedy generation with a DEVICE-SIDE step loop.
+
+        The per-sequence `greedy` path syncs to the host every token (one
+        tunnel/PCIe round-trip per step); this runs prefill + a
+        lax.fori_loop of single-token steps entirely under one jit — zero
+        host round-trips until the final (B, max_new_tokens) token matrix
+        is read back. Greedy only (sampling stays on the host path).
+
+        embeds: (B, S, D); pos: (B, S) or (3, B, S); n_prompts: (B,) int;
+        bidir_full: optional (B, S + max_new_tokens) cache-aligned groups.
+        Returns (tokens (B, max_new_tokens) np.int32, lengths (B,) np.int32
+        where length counts tokens up to and including eos).
+        """
+        b, s, _ = embeds.shape
+        if not hasattr(self, "_batch_runs"):
+            self._batch_runs = {}
+        key = (b, s, max_new_tokens, pos.ndim, bidir_full is not None,
+               deepstack is not None)
+        if key not in self._batch_runs:
+            self._batch_runs[key] = self._build_batch_greedy(
+                b, s, max_new_tokens, pos_ndim=np.asarray(pos).ndim,
+                use_bidir=bidir_full is not None,
+                use_deepstack=deepstack is not None)
+        run = self._batch_runs[key]
+
+        valid0 = np.zeros((b, s + max_new_tokens), bool)
+        for j, n in enumerate(np.asarray(n_prompts)):
+            valid0[j, :int(n)] = True
+        eos = -1 if eos_id is None else int(eos_id)
+        bid = (jnp.asarray(np.asarray(bidir_full, np.int32))
+               if bidir_full is not None else None)
+        tokens = run(params_dec, jnp.asarray(embeds), jnp.asarray(pos),
+                     jnp.asarray(valid0), jnp.asarray(n_prompts, jnp.int32),
+                     jnp.asarray(eos, jnp.int32), bid, deepstack)
+        tokens = np.asarray(tokens, np.int32)
+        lengths = np.full((b,), max_new_tokens, np.int32)
+        for j in range(b):
+            hits = np.flatnonzero(tokens[j] == eos)
+            if eos >= 0 and hits.size:
+                lengths[j] = hits[0] + 1
+        return tokens, lengths
+
+    def _build_batch_greedy(self, b, s, max_new, pos_ndim, use_bidir,
+                            use_deepstack):
+        cfg = self.cfg
+        scale = self.embed_scale
+
+        def run(params, embeds, pos, valid0, n_prompts, eos_id, bidir,
+                deepstack):
+            max_len = s + max_new
+            cache = dec.init_cache(cfg, b, max_len, dtype=embeds.dtype)
+            logits, cache = dec.forward(
+                params, cfg, embeds, pos, valid0, cache=cache, cache_pos=0,
+                bidir_ids=bidir, deepstack=deepstack)
+            # last prompt logit per row
+            logit_pos = n_prompts - 1                       # (B,)
+            first = jnp.take_along_axis(
+                logits, logit_pos[:, None, None], axis=1)[:, 0]
+            tok0 = jnp.argmax(first, axis=-1).astype(jnp.int32)
+            if pos_ndim == 2:
+                last_pos = jnp.take_along_axis(pos, logit_pos[:, None],
+                                               axis=1)[:, 0]
+            else:
+                last_pos = jnp.max(jnp.take_along_axis(
+                    pos, logit_pos[None, :, None], axis=2)[:, :, 0], axis=0)
+
+            emb_table = params["embed"]
+
+            def embed_tok(t):  # (B,) -> (B, 1, D)
+                e = emb_table[t][:, None]
+                if scale is not None:
+                    e = e * jnp.asarray(scale, e.dtype)
+                return e
+
+            tokens0 = jnp.zeros((b, max_new), jnp.int32)
+            tokens0 = tokens0.at[:, 0].set(tok0)
+            done0 = (tok0 == eos_id)
+
+            def body(step, carry):
+                cache, valid, tokens, cur, done = carry
+                cpos = s + step - 1  # cache slot of the token generated at step-1
+                valid = valid.at[:, cpos].set(True)
+                if pos_ndim == 2:
+                    pos1 = (last_pos + step)[:, None]
+                else:
+                    pos1 = jnp.broadcast_to((last_pos + step)[None, :, None],
+                                            (3, b, 1))
+                logits, cache = dec.forward(
+                    params, cfg, embed_tok(cur), pos1, valid,
+                    cache=cache, cache_pos=cpos, bidir_ids=bidir)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                nxt = jnp.where(done, eos_id, nxt)
+                tokens = tokens.at[:, step].set(nxt)
+                done = done | (nxt == eos_id)
+                return cache, valid, tokens, nxt, done
+
+            _, _, tokens, _, _ = jax.lax.fori_loop(
+                1, max_new, body, (cache, valid0, tokens0, tok0, done0))
+            return tokens
+
+        return jax.jit(run)
+
     def _embed_token(self, params_dec, tok: int) -> jnp.ndarray:
         emb = params_dec["embed"][tok][None, None]
         if self.embed_scale is not None:

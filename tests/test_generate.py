@@ -145,3 +145,21 @@ def test_nucleus_sampling(image):
     out2 = scorer.model.generate(images=[image], texts=["Describe."],
                                  max_new_tokens=4, temperature=0.0)
     assert isinstance(out2[0], str)
+
+
+def test_internvl_batched_generate_matches_sequential(image, video):
+    """The device-side batched greedy loop must produce exactly the
+    per-sequence greedy outputs."""
+    scorer = t2v.VQAScore(model="internvl3-test")
+    ad = scorer.model
+    imgs = [image, video, image]
+    txts = ["Describe this.", "What moves?", "Any cats?"]
+    # SimpleT5Tokenizer's vocab is lazy — tokenize every prompt up front so
+    # decode strings are stable across the two passes (the generated token
+    # IDS are what's being compared; the lazy vocab must not shift decodes)
+    for p, t in zip(imgs, txts):
+        ad._assemble_gen(p, t, 16)
+    seq = [ad.generate(images=[i], texts=[t], max_new_tokens=5)[0]
+           for i, t in zip(imgs, txts)]
+    batched = ad.generate(images=imgs, texts=txts, max_new_tokens=5)
+    assert batched == seq, (batched, seq)

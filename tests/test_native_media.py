@@ -123,3 +123,33 @@ class TestNativeAudio:
         off = t2v.VQAScore(model="qwen3-omni-test", use_audio_in_video=False)
         ids2, fl2 = off.model._assemble_content(av_video, None, "Any sound?")
         assert off.model.config.audio_token_id not in [t for t, *_ in fl2]
+
+
+def test_png_batch_decode_matches_pil(tmp_path):
+    """Native PNG decode: RGB, palette, grayscale, RGBA all normalized to
+    PIL convert('RGB') parity."""
+    from PIL import Image
+    from t2v_metrics_tpu.media import native_loader as nl
+
+    if not nl.native_available() or not hasattr(nl._load(),
+                                                "t2v_decode_png_batch"):
+        pytest.skip("native PNG decoder unavailable")
+    rng = np.random.default_rng(0)
+    paths = []
+    rgb = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    gray = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    rgba = rng.integers(0, 255, (24, 40, 4), dtype=np.uint8)
+    for name, arr, mode in [("rgb", rgb, "RGB"), ("gray", gray, "L"),
+                            ("rgba", rgba, "RGBA")]:
+        p = str(tmp_path / f"{name}.png")
+        Image.fromarray(arr, mode).save(p)
+        paths.append(p)
+    pal = str(tmp_path / "pal.png")
+    Image.fromarray(rgb, "RGB").convert("P", palette=Image.ADAPTIVE).save(pal)
+    paths.append(pal)
+
+    bufs = [open(p, "rb").read() for p in paths]
+    ours = nl.decode_png_batch(bufs)
+    for p, arr in zip(paths, ours):
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(arr, ref, err_msg=p)
