@@ -5,7 +5,7 @@ The reference delegates attention to torch SDPA / flash-attn-2 CUDA kernels
 t2v_metrics/models/vqascore_models/qwen2vl_model.py:54). Here the TPU-native
 equivalent is an online-softmax (flash) kernel written in Pallas:
 
-  * grid = (batch, heads, q_blocks, k_blocks), k innermost ("arbitrary"
+  * grid = (heads, q_blocks, batch, k_blocks), k innermost ("arbitrary"
     semantics) with running max / normalizer / accumulator in VMEM scratch;
   * supports an additive bias (T5 relative-position bias, broadcast over
     batch), a key-padding mask, and causal masking — all resolved inside the
@@ -152,7 +152,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
 
-    qb = pl.program_id(2)
+    qb = pl.program_id(1)
     row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     neg = jnp.float32(NEG_INF)
@@ -161,7 +161,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
         # VMEM indexing: one-hot over the head axis
         nh, nb_ = rel_ref.shape
         hsel = (jax.lax.broadcasted_iota(jnp.int32, (nh, nb_), 0)
-                == pl.program_id(1))
+                == pl.program_id(0))
         rel_vec = jnp.sum(jnp.where(hsel, rel_ref[:], 0.0), axis=0)
         s = s + _rel_bias_block(rel_vec, row, col, rel_cfg)
     if mask_ref is not None:
@@ -247,12 +247,16 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
 
-    grid = (b, h, sq_pad // block_q, sk_pad // block_k)
+    # grid order (h, q, b, k): blocks whose index ignores b (the T5
+    # bias / rel tables) keep the same index across consecutive b
+    # iterations, so Mosaic reuses the VMEM copy instead of refetching
+    # it B times from HBM
+    grid = (h, sq_pad // block_q, b, sk_pad // block_k)
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        pl.BlockSpec((1, 1, block_k, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-        pl.BlockSpec((1, 1, block_k, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d_pad), lambda hi, qi, bi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d_pad), lambda hi, qi, bi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d_pad), lambda hi, qi, bi, ki: (bi, hi, ki, 0)),
     ]
     args = [qp, kp, vp]
 
@@ -262,7 +266,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
                         ((0, 0), (0, 0), (0, sq_pad - sq), (0, sk_pad - sk)))
         in_specs.append(pl.BlockSpec(
             (1, 1, block_q, block_k),
-            lambda bi, hi, qi, ki, bb=bb, bh=bh: (bi if bb > 1 else 0,
+            lambda hi, qi, bi, ki, bb=bb, bh=bh: (bi if bb > 1 else 0,
                                                   hi if bh > 1 else 0, qi, ki)))
         args.append(biasp)
     else:
@@ -274,7 +278,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         maskp = jnp.pad(kv_mask.astype(jnp.int32),
                         ((0, 0), (0, sk_pad - sk)))[:, None, :]
         in_specs.append(pl.BlockSpec((1, 1, block_k),
-                                     lambda bi, hi, qi, ki: (bi, 0, ki)))
+                                     lambda hi, qi, bi, ki: (bi, 0, ki)))
         args.append(maskp)
     else:
         in_specs.append(None)
@@ -286,10 +290,10 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         segp = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)),
                        constant_values=-1)[:, None, :]
         in_specs.append(pl.BlockSpec((1, 1, block_q),
-                                     lambda bi, hi, qi, ki: (bi, 0, qi)))
+                                     lambda hi, qi, bi, ki: (bi, 0, qi)))
         args.append(segp)
         in_specs.append(pl.BlockSpec((1, 1, block_k),
-                                     lambda bi, hi, qi, ki: (bi, 0, ki)))
+                                     lambda hi, qi, bi, ki: (bi, 0, ki)))
         args.append(segp)
     else:
         in_specs.extend([None, None])
@@ -301,7 +305,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         # full-array block (equal-to-array dims satisfy TPU tiling); the
         # kernel selects its head's row with a vectorized one-hot
         in_specs.append(pl.BlockSpec(rel_bias.shape,
-                                     lambda bi, hi, qi, ki: (0, 0)))
+                                     lambda hi, qi, bi, ki: (0, 0)))
         args.append(rel_bias.astype(jnp.float32))
     else:
         in_specs.append(None)
@@ -314,10 +318,10 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
                        ((0, 0), (0, sk_pad - sk)),
                        constant_values=-1)[:, None, :]
         in_specs.append(pl.BlockSpec((1, 1, block_q),
-                                     lambda bi, hi, qi, ki: (bi, 0, qi)))
+                                     lambda hi, qi, bi, ki: (bi, 0, qi)))
         args.append(bidp)
         in_specs.append(pl.BlockSpec((1, 1, block_k),
-                                     lambda bi, hi, qi, ki: (bi, 0, ki)))
+                                     lambda hi, qi, bi, ki: (bi, 0, ki)))
         args.append(bidp)
     else:
         in_specs.extend([None, None])
@@ -350,7 +354,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         grid=grid,
         in_specs=real_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                               lambda hi, qi, bi, ki: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -358,7 +362,8 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
             pltpu.VMEM((block_q, d_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
         interpret=interpret,
     )(*real_args)
     return out[:, :, :sq, :d]
