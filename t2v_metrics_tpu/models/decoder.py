@@ -59,6 +59,11 @@ class DecoderConfig:
     num_experts: int = 0                 # 0 -> dense MLP
     experts_per_tok: int = 8
     moe_d_ff: int = 0                    # per-expert intermediate size
+    # True -> exact sort-based block dispatch + Pallas grouped GEMM
+    # (ops/moe.py): E/k-fold fewer expert FLOPs than the dense einsum.
+    # Default False: the dense path is the numerics oracle and wins for
+    # tiny expert counts.
+    moe_dispatch: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +206,10 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
 
 def _mlp(p, cfg: DecoderConfig, x):
     if "moe" in p:
+        if cfg.moe_dispatch:
+            from ..ops.moe import moe_mlp_dispatch
+
+            return moe_mlp_dispatch(p["moe"], cfg, x)
         return _moe_mlp(p["moe"], cfg, x)
     h = L.ACT_FNS[cfg.act](x @ p["gate"]["w"]) * (x @ p["up"]["w"])
     return h @ p["down"]["w"]

@@ -91,7 +91,7 @@ def _qwen3_text(d_model, layers, heads, kv_heads, d_ff, vocab=151936,
     if moe:
         cfg = dataclasses.replace(cfg, num_experts=moe[0],
                                   experts_per_tok=moe[1], moe_d_ff=moe[2],
-                                  d_ff=0)
+                                  d_ff=0, moe_dispatch=True)
     return cfg
 
 

@@ -51,7 +51,8 @@ def _omni_text_30b():
                           heads=32, kv_heads=4, head_dim=128, d_ff=0,
                           rope_theta=1_000_000.0, mrope_section=(24, 20, 20),
                           mrope_interleaved=True, qkv_bias=False, qk_norm=True),
-        num_experts=128, experts_per_tok=8, moe_d_ff=768)
+        num_experts=128, experts_per_tok=8, moe_d_ff=768,
+        moe_dispatch=True)
 
 
 QWEN3_OMNI_MODELS = {

@@ -154,7 +154,8 @@ def resolve_config(name: str) -> Qwen3VLConfig:
             vision=Qwen3VisionConfig(out_hidden=d_model),
             text=dataclasses.replace(
                 _q3_text(d_model, layers, heads, kv, d_ff=0),
-                num_experts=n_exp, experts_per_tok=topk, moe_d_ff=moe_ff))
+                num_experts=n_exp, experts_per_tok=topk, moe_d_ff=moe_ff,
+                moe_dispatch=True))
     if spec["config"] == "test":
         return Qwen3VLConfig(
             vision=Qwen3VisionConfig(hidden=32, depth=3, heads=4, patch_size=4,

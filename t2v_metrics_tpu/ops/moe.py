@@ -1,0 +1,194 @@
+"""MoE expert dispatch: exact sort-based grouping + Pallas grouped GEMM.
+
+The decoder's default MoE path (models/decoder._moe_mlp) is a dense
+einsum — every token runs every expert and the router weights mask the
+rest. That is exact and EP-shardable but does E/k times the necessary
+FLOPs (Qwen3-MoE: 128 experts, top-8 -> 16x).
+
+This module implements the throughput path without losing exactness:
+
+  1. route: top-k expert ids/weights per token (fp32 softmax, renorm);
+  2. group: argsort token-expert assignments by expert and scatter the
+     gathered activations into a block-aligned buffer — every expert's
+     group starts at a block boundary, so no token is ever dropped
+     (unlike capacity-factor dispatch) and the padded-row overhead is at
+     most (block-1) rows per expert;
+  3. grouped_matmul: a Pallas kernel over (row_block, col_block) with the
+     per-row-block expert id SCALAR-PREFETCHED, so each program loads its
+     expert's weight tile directly from the (E, H, I) table — the
+     megablocks pattern, TPU-style;
+  4. combine: gather each token's k outputs and sum with router weights.
+
+FLOPs: sum_e ceil(c_e/bm)*bm*H*I ~ (T*k + E*bm) * H * I versus the dense
+path's T*E*H*I.
+
+The XLA fallback (`grouped_matmul_reference`) runs the same block-aligned
+plan with a gather of weight tiles — used on CPU and as the numerics
+oracle. Dispatch equals the dense einsum path exactly (same fp32 router,
+same renormalization); tests assert equality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def plan_groups(expert_ids: jnp.ndarray, num_experts: int, block_m: int):
+    """Block-aligned grouping plan for (Tk,) expert assignments.
+
+    Returns (perm, dest, block_expert, P):
+      perm: (Tk,) assignment index processed by buffer slot order
+      dest: (Tk,) buffer slot for each assignment
+      block_expert: (P // block_m,) expert id per row block
+      P: padded buffer rows (static: round_up(Tk, block_m) + E*block_m)
+    """
+    tk = expert_ids.shape[0]
+    p_rows = _round_up(tk, block_m) + num_experts * block_m
+
+    counts = jnp.bincount(expert_ids, length=num_experts)           # (E,)
+    padded = _round_up_arr(counts, block_m)
+    starts = jnp.concatenate([jnp.zeros((1,), padded.dtype),
+                              jnp.cumsum(padded)[:-1]])             # (E,)
+
+    order = jnp.argsort(expert_ids, stable=True)                    # (Tk,)
+    # rank of each assignment within its expert group (order is grouped)
+    group_start_in_sorted = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(tk) - group_start_in_sorted[expert_ids[order]]
+    dest_sorted = starts[expert_ids[order]] + rank                  # (Tk,)
+
+    # expert id per row block: block b belongs to expert e when
+    # starts[e] <= b*block_m < starts[e] + padded[e]; padding blocks that
+    # belong to no expert get id 0 (their rows are zero, output unused)
+    nb = p_rows // block_m
+    block_row = jnp.arange(nb) * block_m
+    in_e = ((block_row[:, None] >= starts[None, :])
+            & (block_row[:, None] < (starts + padded)[None, :]))    # (nb, E)
+    block_expert = jnp.argmax(in_e, axis=1).astype(jnp.int32)
+    return order, dest_sorted, block_expert, p_rows
+
+
+def _round_up_arr(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def grouped_matmul_reference(xg: jnp.ndarray, w: jnp.ndarray,
+                             block_expert: jnp.ndarray,
+                             block_m: int) -> jnp.ndarray:
+    """XLA oracle: per row block, matmul with the block's expert weight.
+
+    xg: (P, H); w: (E, H, I); block_expert: (P // block_m,).
+    """
+    p, h = xg.shape
+    nb = p // block_m
+    xb = xg.reshape(nb, block_m, h)
+    wb = w[block_expert]                                            # (nb, H, I)
+    return jnp.einsum("bmh,bhi->bmi", xb, wb,
+                      preferred_element_type=jnp.float32
+                      ).astype(xg.dtype).reshape(p, -1)
+
+
+def _gmm_kernel(be_ref, x_ref, w_ref, o_ref):
+    o_ref[0] = jax.lax.dot_general(
+        x_ref[0], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_i",
+                                             "interpret"))
+def grouped_matmul(xg: jnp.ndarray, w: jnp.ndarray,
+                   block_expert: jnp.ndarray, block_m: int = 128,
+                   block_i: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """Pallas grouped GEMM with scalar-prefetched expert ids.
+
+    xg: (P, H) block-aligned grouped activations (P % block_m == 0);
+    w: (E, H, I) packed expert weights; block_expert: (P/block_m,) int32.
+    Returns (P, I) in xg.dtype.
+    """
+    p, h = xg.shape
+    e, _, i = w.shape
+    assert p % block_m == 0
+    i_pad = _round_up(i, block_i)
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, i_pad - i)))
+    grid = (p // block_m, i_pad // block_i)
+
+    out = pl.pallas_call(
+        _gmm_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_m, h),
+                             lambda pb, ib, be: (pb, 0, 0)),
+                pl.BlockSpec((1, h, block_i),
+                             lambda pb, ib, be: (be[pb], 0, ib)),
+            ],
+            out_specs=pl.BlockSpec((1, block_m, block_i),
+                                   lambda pb, ib, be: (pb, 0, ib)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((p // block_m, block_m, i_pad),
+                                       xg.dtype),
+        interpret=interpret,
+    )(block_expert, xg.reshape(p // block_m, block_m, h), wp)
+    return out.reshape(p, i_pad)[:, :i]
+
+
+def moe_mlp_dispatch(p, cfg, x: jnp.ndarray, block_m: int = 128,
+                     impl: str = "auto") -> jnp.ndarray:
+    """Drop-in replacement for the dense-einsum MoE MLP — EXACT (no token
+    drops), E/k-fold fewer expert FLOPs.
+
+    p: {"router": {"w": (H, E)}, "gate_up": (E, H, 2I), "down": (E, I, H)}
+    x: (B, S, H). Matches models/decoder._moe_mlp numerics (fp32 router
+    softmax, top-k renormalized).
+    """
+    from . import layers as L
+
+    b, s, h = x.shape
+    xt = x.reshape(-1, h)
+    t = xt.shape[0]
+    k = cfg.experts_per_tok
+    e = cfg.num_experts
+
+    logits = xt @ p["router"]["w"]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)
+    topv = topv / topv.sum(-1, keepdims=True)                       # (T, k)
+
+    expert_ids = topi.reshape(-1)                                   # (Tk,)
+    order, dest, block_expert, p_rows = plan_groups(expert_ids, e, block_m)
+
+    token_of = jnp.repeat(jnp.arange(t), k)[order]                  # (Tk,)
+    xg = jnp.zeros((p_rows, h), x.dtype).at[dest].set(xt[token_of])
+
+    use_pallas = (impl == "pallas"
+                  or (impl == "auto" and pltpu is not None
+                      and jax.default_backend() == "tpu"))
+    mm = (lambda a, w: grouped_matmul(a, w, block_expert, block_m)) \
+        if use_pallas else \
+        (lambda a, w: grouped_matmul_reference(a, w, block_expert, block_m))
+
+    gu = mm(xg, p["gate_up"])                                       # (P, 2I)
+    g, u = jnp.split(gu, 2, axis=-1)
+    act = L.ACT_FNS[cfg.act](g) * u
+    y = mm(act.astype(x.dtype), p["down"])                          # (P, H)
+
+    # combine: token t's k outputs live at dest slots; invert the scatter
+    inv = jnp.zeros((t * k,), jnp.int32).at[order].set(
+        dest.astype(jnp.int32))                                     # (Tk,)
+    yk = y[inv].reshape(t, k, h)
+    out = (yk * topv[..., None].astype(y.dtype)).sum(axis=1)
+    return out.reshape(b, s, h).astype(x.dtype)
