@@ -93,6 +93,13 @@ class CLIPT5Engine:
         self._decode_logits = jax.jit(
             lambda params, dec_ids, enc_hidden, enc_mask:
             jt5.decode(params["t5"], cfg.t5, dec_ids, enc_hidden, enc_mask))
+        self._cross_kv = jax.jit(
+            lambda params, enc_hidden: jt5.cross_kv(params["t5"], cfg.t5,
+                                                    enc_hidden))
+        self._dec_step = jax.jit(
+            lambda params, tok, cache, cpos, ckv, enc_mask:
+            jt5.decode_step(params["t5"], cfg.t5, tok, cache, cpos, ckv,
+                            enc_mask))
 
     # -- host-side assembly -------------------------------------------------
 
@@ -242,9 +249,9 @@ class CLIPT5Engine:
     def generate(self, images, texts, max_new_tokens: int = 128,
                  **_) -> list[str]:
         """Greedy T5 decode conditioned on the image (the v3.0 CLIP-FlanT5
-        LLaVA-style generate). Encoder runs once per sample; the decoder is
-        re-run teacher-forced over the growing (bucket-padded) output —
-        O(L^2) but compile-stable, fine for short continuations.
+        LLaVA-style generate). Encoder + cross-attention k/v run once per
+        sample; each step is a cached single-token decode (O(L), not the
+        teacher-forced O(L^2) re-decode).
         """
         assert len(images) == len(texts)
         cfg = self.cfg
@@ -261,19 +268,21 @@ class CLIPT5Engine:
                 self.params, feats, ids, img_mask, img_slot, enc_mask,
                 one, one)
             emask = jnp.asarray(arrays[3])
+            ckv = self._cross_kv(self.params, enc_hidden)
+            cache = jt5.init_dec_cache(self.params["t5"], cfg.t5, 1,
+                                       max_new_tokens + 1)
 
             gen = []
-            start = cfg.t5.decoder_start_token_id
-            while len(gen) < max_new_tokens:
-                a = _bucket(len(gen) + 1, ANS_BUCKETS)
-                dec = np.full((1, a), start, np.int32)
-                dec[0, 1:len(gen) + 1] = gen
-                logits = self._decode_logits(self.params, jnp.asarray(dec),
-                                             enc_hidden, emask)
-                nxt = int(jnp.argmax(logits[0, len(gen)]))
+            tok = cfg.t5.decoder_start_token_id
+            for step in range(max_new_tokens):
+                logits, cache = self._dec_step(
+                    self.params, jnp.asarray([[tok]], jnp.int32), cache,
+                    step, ckv, emask)
+                nxt = int(jnp.argmax(logits[0]))
                 if nxt == eos:
                     break
                 gen.append(nxt)
+                tok = nxt
             try:
                 outs.append(self.tokenizer.decode(
                     gen, skip_special_tokens=True).strip())

@@ -212,6 +212,81 @@ def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     return params["shared_emb"][ids]
 
 
+# ---------------------------------------------------------------------------
+# Cached incremental decoding (generate)
+# ---------------------------------------------------------------------------
+
+def init_dec_cache(params: Params, cfg: T5Config, batch: int, max_len: int):
+    """Self-attn KV cache + per-layer cross-attn k/v computed ONCE from the
+    encoder output (the O(L^2) re-decode killer for generate)."""
+    dtype = params["shared_emb"].dtype
+    kv = cfg.num_heads * cfg.d_kv
+    return [{"k": jnp.zeros((batch, max_len, kv), dtype),
+             "v": jnp.zeros((batch, max_len, kv), dtype)}
+            for _ in range(len(params["decoder"]["blocks"]))]
+
+
+def cross_kv(params: Params, cfg: T5Config, enc_hidden: jnp.ndarray):
+    """Per-layer cross-attention keys/values from the encoder hidden."""
+    out = []
+    for blk in params["decoder"]["blocks"]:
+        out.append((enc_hidden @ blk["cross"]["k"]["w"],
+                    enc_hidden @ blk["cross"]["v"]["w"]))
+    return out
+
+
+def decode_step(params: Params, cfg: T5Config, tok_ids: jnp.ndarray,
+                cache, cpos, cross_kvs, enc_mask=None):
+    """One incremental decoder step.
+
+    tok_ids: (B, 1) current decoder input token; cache: init_dec_cache
+    pytree; cpos: scalar position (0 = decoder_start token);
+    cross_kvs: cross_kv() output. Returns (logits (B, vocab) fp32,
+    new cache).
+    """
+    dec = params["decoder"]
+    x = params["shared_emb"][tok_ids]                     # (B, 1, D)
+    rel_emb = dec["blocks"][0]["attn"]["rel_bias"]
+    max_len = cache[0]["k"].shape[1]
+    # bias row for query position cpos against keys 0..max_len-1
+    ctx = jnp.full((1,), 1, jnp.int32) * cpos
+    mem = jnp.arange(max_len)
+    buckets = relative_position_bucket(mem[None, :] - ctx[:, None], False,
+                                       cfg.num_buckets, cfg.max_distance)
+    bias = jnp.transpose(rel_emb[buckets], (2, 0, 1))[None]  # (1,H,1,max_len)
+    key_valid = mem <= cpos
+    bias = jnp.where(key_valid[None, None, None, :], bias, -1e30)
+
+    new_cache = []
+    for blk, cl, (ck, cv) in zip(dec["blocks"], cache, cross_kvs):
+        h = L.rms_norm(x, blk["ln1"]["scale"], cfg.eps)
+        q = L.split_heads(h @ blk["attn"]["q"]["w"], cfg.num_heads)
+        k1 = h @ blk["attn"]["k"]["w"]
+        v1 = h @ blk["attn"]["v"]["w"]
+        nk = jax.lax.dynamic_update_slice(cl["k"], k1, (0, cpos, 0))
+        nv = jax.lax.dynamic_update_slice(cl["v"], v1, (0, cpos, 0))
+        new_cache.append({"k": nk, "v": nv})
+        a = attention(q, L.split_heads(nk, cfg.num_heads),
+                      L.split_heads(nv, cfg.num_heads), bias=bias,
+                      scale=1.0, impl="reference")
+        x = x + L.merge_heads(a) @ blk["attn"]["o"]["w"]
+        h = L.rms_norm(x, blk["ln_cross"]["scale"], cfg.eps)
+        q = L.split_heads(h @ blk["cross"]["q"]["w"], cfg.num_heads)
+        a = attention(q, L.split_heads(ck, cfg.num_heads),
+                      L.split_heads(cv, cfg.num_heads), kv_mask=enc_mask,
+                      scale=1.0, impl="reference")
+        x = x + L.merge_heads(a) @ blk["cross"]["o"]["w"]
+        h = L.rms_norm(x, blk["ln2"]["scale"], cfg.eps)
+        x = x + _t5_mlp(blk["mlp"], h, cfg)
+    x = L.rms_norm(x, dec["ln_final"]["scale"], cfg.eps)
+    if cfg.tie_word_embeddings:
+        x = x * (cfg.d_model ** -0.5)
+        logits = x @ params["shared_emb"].T
+    else:
+        logits = x @ params["lm_head"]
+    return logits[:, 0].astype(jnp.float32), new_cache
+
+
 def answer_log_probs(params: Params, cfg: T5Config,
                      input_embeds: jnp.ndarray, enc_mask: jnp.ndarray,
                      answer_ids: jnp.ndarray, answer_mask: jnp.ndarray) -> jnp.ndarray:

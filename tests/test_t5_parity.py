@@ -111,3 +111,33 @@ def test_tied_embeddings_scaling():
     enc = jt5.encode(params, cfg, emb, None)
     ours = np.asarray(jt5.decode(params, cfg, jnp.asarray(dec), enc, None))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_cached_decode_matches_teacher_forced():
+    """decode_step (self-attn KV cache + precomputed cross k/v) must
+    reproduce the teacher-forced decode() logits step for step."""
+    import jax
+    from t2v_metrics_tpu.models import t5 as jt5
+
+    cfg = jt5.T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64,
+                       num_heads=4, enc_layers=2, dec_layers=2,
+                       num_buckets=8, max_distance=20)
+    params = jt5.init_t5(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    enc_embeds = jnp.asarray(rng.standard_normal((1, 12, cfg.d_model)),
+                             jnp.float32)
+    enc_mask = jnp.ones((1, 12), bool)
+    enc_hidden = jt5.encode(params, cfg, enc_embeds, enc_mask)
+
+    dec_ids = np.array([[cfg.decoder_start_token_id, 5, 9, 33, 7]])
+    full = jt5.decode(params, cfg, jnp.asarray(dec_ids), enc_hidden, enc_mask)
+
+    ckv = jt5.cross_kv(params, cfg, enc_hidden)
+    cache = jt5.init_dec_cache(params, cfg, 1, 8)
+    for step in range(dec_ids.shape[1]):
+        logits, cache = jt5.decode_step(
+            params, cfg, jnp.asarray(dec_ids[:, step:step + 1]), cache,
+            step, ckv, enc_mask)
+        np.testing.assert_allclose(np.asarray(logits[0]),
+                                   np.asarray(full[0, step]),
+                                   rtol=2e-5, atol=2e-5)
