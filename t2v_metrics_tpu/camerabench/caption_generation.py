@@ -28,6 +28,7 @@ def generate_captions(samples, model_spec, video_base_path,
     scorer = t2v.VQAScore(model=model_name, **kwargs)
 
     results = []
+    pending = []  # (entry, full path) for a batched generate call
     for sample in samples:
         video_path = sample.get("video", sample.get("image"))
         entry = {"video_path": video_path,
@@ -39,16 +40,33 @@ def generate_captions(samples, model_spec, video_base_path,
         full = os.path.join(video_base_path, video_path)
         if not os.path.exists(full):
             entry["error"] = f"Video file not found: {full}"
-            results.append(entry)
-            continue
-        try:
-            out = scorer.model.generate(images=[full], texts=[question],
-                                        max_new_tokens=max_new_tokens)
-            entry["generated_caption"] = out[0]
-        except Exception as e:
-            print(f"Error generating for {full}: {e}")
-            entry["error"] = str(e)
+        else:
+            pending.append((entry, full))
         results.append(entry)
+
+    # adapters with a batched greedy path (device-side step loop) decode
+    # whole chunks without per-token host round-trips; per-sample fallback
+    # keeps the reference's error-tolerant entries
+    batch = 8
+    for lo in range(0, len(pending), batch):
+        chunk = pending[lo:lo + batch]
+        try:
+            outs = scorer.model.generate(
+                images=[f for _, f in chunk],
+                texts=[question] * len(chunk),
+                max_new_tokens=max_new_tokens)
+            for (entry, _), out in zip(chunk, outs):
+                entry["generated_caption"] = out
+        except Exception:
+            for entry, full in chunk:
+                try:
+                    out = scorer.model.generate(
+                        images=[full], texts=[question],
+                        max_new_tokens=max_new_tokens)
+                    entry["generated_caption"] = out[0]
+                except Exception as e:
+                    print(f"Error generating for {full}: {e}")
+                    entry["error"] = str(e)
     return results
 
 

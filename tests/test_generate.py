@@ -163,3 +163,43 @@ def test_internvl_batched_generate_matches_sequential(image, video):
            for i, t in zip(imgs, txts)]
     batched = ad.generate(images=imgs, texts=txts, max_new_tokens=5)
     assert batched == seq, (batched, seq)
+
+
+def test_gemma3_batched_generate_matches_sequential(image, video):
+    """Gemma3's batched path (bidir image-group overlays in the device-side
+    loop) must match per-sequence greedy token-for-token."""
+    scorer = t2v.VQAScore(model="gemma-3-test")
+    ad = scorer.model
+    imgs = [image, video, image]
+    txts = ["Describe this.", "What moves?", "Any cats?"]
+    for p, t in zip(imgs, txts):  # warm the lazy vocab (stable decodes)
+        ad._assemble(p, t, 10)
+    seq = [ad.generate(images=[i], texts=[t], max_new_tokens=5)[0]
+           for i, t in zip(imgs, txts)]
+    batched = ad.generate(images=imgs, texts=txts, max_new_tokens=5)
+    assert batched == seq, (batched, seq)
+
+
+def test_camerabench_caption_generation_batched(tmp_path):
+    """The caption harness batches valid samples and keeps per-sample
+    error entries for missing files."""
+    import cv2
+    from t2v_metrics_tpu.camerabench.caption_generation import generate_captions
+
+    rng = np.random.default_rng(0)
+    for name in ("a.mp4", "b.mp4"):
+        vw = cv2.VideoWriter(str(tmp_path / name),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+        for _ in range(8):
+            vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+        vw.release()
+    samples = [{"video": "a.mp4", "caption": "x"},
+               {"video": "nope.mp4", "caption": "y"},
+               {"video": "b.mp4", "caption": "z"}]
+    results = generate_captions(samples, "internvl3-test", str(tmp_path),
+                                max_new_tokens=3)
+    assert results[0]["generated_caption"] and results[0]["error"] is None
+    assert results[1]["error"] and results[1]["generated_caption"] is None
+    assert results[2]["generated_caption"] and results[2]["error"] is None
+    # order preserved
+    assert [r["video_path"] for r in results] == ["a.mp4", "nope.mp4", "b.mp4"]
