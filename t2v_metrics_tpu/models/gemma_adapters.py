@@ -569,6 +569,10 @@ class Gemma4Adapter(Gemma3Adapter):
         questions = [question_template.format(t) for t in texts]
         answers = [answer_template.format(t) for t in texts]
         special = self._special_ids()
+        if len(images) > 1:
+            return self._forward_batched(images, questions, answers,
+                                         num_frames, max_new_tokens,
+                                         temperature, special)
         probs = []
         for path, question, answer in zip(images, questions, answers):
             gen, dists = self._rollout(path, question, num_frames,
@@ -576,6 +580,69 @@ class Gemma4Adapter(Gemma3Adapter):
             ans = self._encode_text(answer)
             probs.append(score_rollout(dists, gen, ans, special))
         return np.asarray(probs, np.float32)
+
+    def _forward_batched(self, images, questions, answers, num_frames,
+                         max_new_tokens, temperature, special) -> np.ndarray:
+        """Batched rollout SCORING: one device-side greedy loop per chunk
+        with per-step answer-token probabilities gathered in-graph — the
+        per-pair path pays a host round-trip per generated token."""
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text, embed_scale=cfg.text.d_model ** 0.5)
+        samples, ans_tok = [], []
+        for path, q_, a_ in zip(images, questions, answers):
+            ids, px = self._assemble(path, q_, num_frames)
+            f = self._vision_jit(self.params, jnp.asarray(px))
+            samples.append((ids, np.asarray(f, np.float32).reshape(
+                -1, cfg.text.d_model)))
+            ans_tok.append(self._encode_text(a_))
+
+        bsz = len(samples)
+        s = _bucket(max(len(i) for i, _ in samples))
+        t_max = max(f.shape[0] for _, f in samples)
+        a_max = max(len(a) for a in ans_tok)
+        ids_arr = np.zeros((bsz, s), np.int64)
+        vis_mask = np.zeros((bsz, s), bool)
+        vis_slot = np.zeros((bsz, s), np.int64)
+        feats = np.zeros((bsz, max(t_max, 1), cfg.text.d_model), np.float32)
+        n_prompts = np.zeros((bsz,), np.int32)
+        bidir_full = np.full((bsz, s + max_new_tokens), -1, np.int32)
+        gather = np.zeros((bsz, a_max), np.int32)
+        for j, ((ids, f), ans) in enumerate(zip(samples, ans_tok)):
+            n = len(ids)
+            ids_arr[j, :n] = ids
+            vm = ids_arr[j] == cfg.image_token_id
+            vm[n:] = False
+            vis_mask[j] = vm
+            vis_slot[j][vm] = np.arange(vm.sum())
+            feats[j, : f.shape[0]] = f
+            n_prompts[j] = n
+            bidir_full[j, :s] = self._group_ids_np(vm)
+            gather[j, : len(ans)] = ans
+
+        embed = self.params["decoder"]["embed"]
+        scale = jnp.asarray(cfg.text.d_model ** 0.5, embed.dtype)
+        tok = embed[jnp.asarray(ids_arr)] * scale
+        vis = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                  jnp.asarray(vis_slot)[..., None], axis=1)
+        embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+        pos = np.broadcast_to(np.arange(s)[None], (bsz, s)).copy()
+        eos = self._eos_ids()
+        tokens, lengths, probs = self._lm.greedy_batch(
+            self.params["decoder"], embeds, pos, n_prompts, max_new_tokens,
+            eos_id=min(eos) if eos else None, bidir_full=bidir_full,
+            gather_ids=gather, temperature=temperature)
+
+        out = []
+        for j, ans in enumerate(ans_tok):
+            length = int(lengths[j])
+            gen = tokens[j, :length].tolist()
+            # probs[j, t, i] = P(answer token i) at step t -> reuse the
+            # end-aligned rule with identity answer indices
+            dists = [probs[j, t] for t in range(length)]
+            out.append(score_rollout(dists, gen, list(range(len(ans))),
+                                     special))
+        return np.asarray(out, np.float32)
 
     def generate(self, images, texts, num_frames: int = 10, fps=None,
                  max_new_tokens: int = 1024, temperature: float = 0.0,

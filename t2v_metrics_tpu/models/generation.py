@@ -46,7 +46,8 @@ class CachedLM:
 
     def greedy_batch(self, params_dec, embeds, pos, n_prompts,
                      max_new_tokens: int, eos_id: int | None = None,
-                     bidir_full=None, deepstack=None):
+                     bidir_full=None, deepstack=None, gather_ids=None,
+                     temperature: float = 1.0):
         """Batched greedy generation with a DEVICE-SIDE step loop.
 
         The per-sequence `greedy` path syncs to the host every token (one
@@ -57,19 +58,26 @@ class CachedLM:
 
         embeds: (B, S, D); pos: (B, S) or (3, B, S); n_prompts: (B,) int;
         bidir_full: optional (B, S + max_new_tokens) cache-aligned groups.
+        gather_ids: optional (B, G) token ids — additionally returns the
+        fp32 softmax probability (at `temperature`) of each of those ids
+        at every step, shape (B, max_new_tokens, G). Batched rollout
+        SCORING (Gemma4/Molmo2 end-aligned answer probs) rides this with
+        no extra host round-trips.
         Returns (tokens (B, max_new_tokens) np.int32, lengths (B,) np.int32
-        where length counts tokens up to and including eos).
+        counting tokens up to and including eos[, probs]).
         """
         b, s, _ = embeds.shape
         if not hasattr(self, "_batch_runs"):
             self._batch_runs = {}
+        g = None if gather_ids is None else np.asarray(gather_ids).shape[1]
         key = (b, s, max_new_tokens, pos.ndim, bidir_full is not None,
-               deepstack is not None)
+               deepstack is not None, g, float(temperature))
         if key not in self._batch_runs:
             self._batch_runs[key] = self._build_batch_greedy(
                 b, s, max_new_tokens, pos_ndim=np.asarray(pos).ndim,
                 use_bidir=bidir_full is not None,
-                use_deepstack=deepstack is not None)
+                use_deepstack=deepstack is not None, gather_g=g,
+                temperature=float(temperature))
         run = self._batch_runs[key]
 
         valid0 = np.zeros((b, s + max_new_tokens), bool)
@@ -78,24 +86,29 @@ class CachedLM:
         eos = -1 if eos_id is None else int(eos_id)
         bid = (jnp.asarray(np.asarray(bidir_full, np.int32))
                if bidir_full is not None else None)
-        tokens = run(params_dec, jnp.asarray(embeds), jnp.asarray(pos),
-                     jnp.asarray(valid0), jnp.asarray(n_prompts, jnp.int32),
-                     jnp.asarray(eos, jnp.int32), bid, deepstack)
+        gids = (jnp.asarray(np.asarray(gather_ids, np.int32))
+                if gather_ids is not None else None)
+        out = run(params_dec, jnp.asarray(embeds), jnp.asarray(pos),
+                  jnp.asarray(valid0), jnp.asarray(n_prompts, jnp.int32),
+                  jnp.asarray(eos, jnp.int32), bid, deepstack, gids)
+        tokens, probs = out if gather_ids is not None else (out, None)
         tokens = np.asarray(tokens, np.int32)
         lengths = np.full((b,), max_new_tokens, np.int32)
         for j in range(b):
             hits = np.flatnonzero(tokens[j] == eos)
             if eos >= 0 and hits.size:
                 lengths[j] = hits[0] + 1
+        if gather_ids is not None:
+            return tokens, lengths, np.asarray(probs, np.float32)
         return tokens, lengths
 
     def _build_batch_greedy(self, b, s, max_new, pos_ndim, use_bidir,
-                            use_deepstack):
+                            use_deepstack, gather_g=None, temperature=1.0):
         cfg = self.cfg
         scale = self.embed_scale
 
         def run(params, embeds, pos, valid0, n_prompts, eos_id, bidir,
-                deepstack):
+                deepstack, gather_ids):
             max_len = s + max_new
             cache = dec.init_cache(cfg, b, max_len, dtype=embeds.dtype)
             logits, cache = dec.forward(
@@ -121,12 +134,22 @@ class CachedLM:
                     e = e * jnp.asarray(scale, e.dtype)
                 return e
 
+            def gprobs(step_logits):  # (B, V) -> (B, G) fp32 probs
+                d = jax.nn.softmax(step_logits.astype(jnp.float32)
+                                   / temperature, axis=-1)
+                return jnp.take_along_axis(d, gather_ids, axis=-1)
+
             tokens0 = jnp.zeros((b, max_new), jnp.int32)
             tokens0 = tokens0.at[:, 0].set(tok0)
             done0 = (tok0 == eos_id)
+            if gather_g is not None:
+                probs0 = jnp.zeros((b, max_new, gather_g), jnp.float32)
+                probs0 = probs0.at[:, 0].set(gprobs(first))
+            else:
+                probs0 = jnp.zeros((b, 1, 1), jnp.float32)  # unused
 
             def body(step, carry):
-                cache, valid, tokens, cur, done = carry
+                cache, valid, tokens, probs, cur, done = carry
                 cpos = s + step - 1  # cache slot of the token generated at step-1
                 valid = valid.at[:, cpos].set(True)
                 if pos_ndim == 2:
@@ -140,11 +163,16 @@ class CachedLM:
                 nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                 nxt = jnp.where(done, eos_id, nxt)
                 tokens = tokens.at[:, step].set(nxt)
+                if gather_g is not None:
+                    probs = probs.at[:, step].set(gprobs(logits[:, 0]))
                 done = done | (nxt == eos_id)
-                return cache, valid, tokens, nxt, done
+                return cache, valid, tokens, probs, nxt, done
 
-            _, _, tokens, _, _ = jax.lax.fori_loop(
-                1, max_new, body, (cache, valid0, tokens0, tok0, done0))
+            _, _, tokens, probs, _, _ = jax.lax.fori_loop(
+                1, max_new, body,
+                (cache, valid0, tokens0, probs0, tok0, done0))
+            if gather_g is not None:
+                return tokens, probs
             return tokens
 
         return jax.jit(run)

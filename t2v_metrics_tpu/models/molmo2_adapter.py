@@ -160,6 +160,10 @@ class Molmo2Adapter(VQAScoreModel):
         questions = [question_template.format(t) for t in texts]
         answers = [answer_template.format(t) for t in texts]
         special = self._special_ids()
+        if len(images) > 1:
+            return self._forward_batched(images, questions, answers,
+                                         max_new_tokens, temperature,
+                                         special)
         probs = []
         for path, question, answer in zip(images, questions, answers):
             gen, dists = self._rollout(path, question, max_new_tokens,
@@ -167,6 +171,68 @@ class Molmo2Adapter(VQAScoreModel):
             ans = self._encode_text(answer)
             probs.append(score_rollout(dists, gen, ans, special))
         return np.asarray(probs, np.float32)
+
+    def _assemble_arrays(self, path, question):
+        """(ids list, flat feats) for one sample."""
+        cfg = self.config
+        frames = self._frames_for(path)
+        px = np.stack([_clip_preprocess(f, cfg.vision.image_size)
+                       for f in frames])
+        f = self._vision_jit(self.params, jnp.asarray(px))
+        f = np.asarray(f, np.float32).reshape(-1, cfg.text.d_model)
+        ids = (self._encode_text("User: ")
+               + [cfg.image_token_id] * f.shape[0]
+               + self._encode_text("\n" + question + " Assistant:"))
+        return ids, f
+
+    def _forward_batched(self, images, questions, answers, max_new_tokens,
+                         temperature, special) -> np.ndarray:
+        """Batched rollout scoring (one device-side loop per chunk)."""
+        from .generation import score_rollout as _sr
+
+        cfg = self.config
+        samples = [self._assemble_arrays(p_, q_)
+                   for p_, q_ in zip(images, questions)]
+        ans_tok = [self._encode_text(a) for a in answers]
+        bsz = len(samples)
+        s = _bucket(max(len(i) for i, _ in samples))
+        t_max = max(f.shape[0] for _, f in samples)
+        a_max = max(len(a) for a in ans_tok)
+        ids_arr = np.zeros((bsz, s), np.int64)
+        vis_mask = np.zeros((bsz, s), bool)
+        vis_slot = np.zeros((bsz, s), np.int64)
+        feats = np.zeros((bsz, max(t_max, 1), cfg.text.d_model), np.float32)
+        n_prompts = np.zeros((bsz,), np.int32)
+        gather = np.zeros((bsz, a_max), np.int32)
+        for j, ((ids, f), ans) in enumerate(zip(samples, ans_tok)):
+            n = len(ids)
+            ids_arr[j, :n] = ids
+            vm = ids_arr[j] == cfg.image_token_id
+            vm[n:] = False
+            vis_mask[j] = vm
+            vis_slot[j][vm] = np.arange(vm.sum())
+            feats[j, : f.shape[0]] = f
+            n_prompts[j] = n
+            gather[j, : len(ans)] = ans
+
+        embed = self.params["decoder"]["embed"]
+        tok = embed[jnp.asarray(ids_arr)]
+        vis = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                  jnp.asarray(vis_slot)[..., None], axis=1)
+        embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+        pos = np.broadcast_to(np.arange(s)[None], (bsz, s)).copy()
+        eos = self._eos_ids()
+        tokens, lengths, probs = self._lm.greedy_batch(
+            self.params["decoder"], embeds, pos, n_prompts, max_new_tokens,
+            eos_id=min(eos) if eos else None, gather_ids=gather,
+            temperature=temperature)
+        out = []
+        for j, ans in enumerate(ans_tok):
+            length = int(lengths[j])
+            gen = tokens[j, :length].tolist()
+            dists = [probs[j, t] for t in range(length)]
+            out.append(_sr(dists, gen, list(range(len(ans))), special))
+        return np.asarray(out, np.float32)
 
     def score_matrix(self, images, texts, **kw) -> np.ndarray:
         m, n = len(images), len(texts)

@@ -101,3 +101,34 @@ def test_molmo2_native_video_passthrough(video):
     scorer = t2v.VQAScore(model="molmo2-test")
     assert scorer.model.load_images([video]) == [video]
     assert scorer.model.allows_video
+
+
+@pytest.mark.parametrize("name", ["gemma-4-test", "molmo2-test"])
+def test_batched_rollout_scoring_matches_sequential(name, image, video):
+    """The batched rollout scorer (gathered answer probs in the device
+    loop) must match the per-pair rollout scores."""
+    scorer = t2v.VQAScore(model=name)
+    ad = scorer.model
+    imgs = [image, video, image]
+    txts = ["a cat", "a moving scene", "a dog"]
+    # a random model can emit eos as its very first token, in which case
+    # the (reference-matching) scorer raises — both paths must agree on
+    # either the score or that rejection, per sample
+    def run(fn):
+        try:
+            return float(fn()[0])
+        except ValueError as e:
+            return str(e)
+
+    seq = [run(lambda i=i, t=t: ad.forward([i], [t], max_new_tokens=4))
+           for i, t in zip(imgs, txts)]
+    try:
+        batched = list(ad.forward(imgs, txts, max_new_tokens=4))
+    except ValueError as e:
+        # batched raises as a unit; every sequential sample must have the
+        # same rejection for the comparison to be meaningful
+        assert any(isinstance(s, str) for s in seq)
+        return
+    for b, s_ in zip(batched, seq):
+        assert not isinstance(s_, str), "sequential rejected, batched scored"
+        np.testing.assert_allclose(b, s_, rtol=2e-5, atol=2e-7)
