@@ -325,12 +325,87 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
                 pass
         audio_paths = audio_paths or [None] * len(texts)
 
+        if len(images) > 1:
+            return self._generate_batched(images, audio_paths, texts,
+                                          max_new_tokens, eos)
         outs = []
         for path, audio, text in zip(images, audio_paths, texts):
             gen, _ = self._rollout_sample(path, audio, text, max_new_tokens,
                                           eos)
             outs.append(decode_text(self.tokenizer, gen, eos))
         return outs
+
+    def _generate_batched(self, images, audio_paths, texts, max_new_tokens,
+                          eos) -> list[str]:
+        """Device-side batched greedy decode with deepstack prefill and
+        M-RoPE step positions (zero per-token host round-trips)."""
+        from .generation import CachedLM, decode_text
+
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text)
+        n_ds = len(cfg.vision.deepstack_indexes)
+        assembled = [self._assemble_content(p_, a_, t_)
+                     for p_, a_, t_ in zip(images, audio_paths, texts)]
+        bsz = len(assembled)
+        s = _bucket(max(len(i) for i, _ in assembled), SEQ_BUCKETS)
+        d = cfg.text.d_model
+        t_max = max(max(sum(f.shape[0] for _, f, *_ in fl), 1)
+                    for _, fl in assembled)
+        ids_arr = np.zeros((bsz, s), np.int64)
+        splice_mask = np.zeros((bsz, s), bool)
+        vis_mask = np.zeros((bsz, s), bool)
+        splice_slot = np.zeros((bsz, s), np.int64)
+        feats = np.zeros((bsz, t_max, d), np.float32)
+        deepstack = np.zeros((n_ds, bsz, t_max, d), np.float32)
+        pos = np.zeros((3, bsz, s), np.int64)
+        n_prompts = np.zeros((bsz,), np.int32)
+        for j, (ids, feats_list) in enumerate(assembled):
+            n = len(ids)
+            ids_arr[j, :n] = ids
+            n_prompts[j] = n
+            row = 0
+            grids = [g for _, _, _, g, _ in feats_list if g is not None]
+            for tok, f, ds, _, _ in feats_list:
+                mask = ids_arr[j] == tok
+                mask[n:] = False
+                splice_mask[j] |= mask
+                if ds is not None:
+                    vis_mask[j] |= mask
+                    for lvl, dsf in enumerate(ds):
+                        deepstack[lvl, j, row:row + f.shape[0]] = dsf
+                splice_slot[j][mask] = row + np.arange(mask.sum())
+                feats[j, row:row + f.shape[0]] = f
+                row += f.shape[0]
+            rope_cfg = q2.Qwen2VLConfig(
+                vision=q2.QwenVisionConfig(
+                    merge_size=cfg.vision.merge_size, tokens_per_second=1),
+                text=cfg.text, image_token_id=cfg.image_token_id,
+                video_token_id=cfg.video_token_id,
+                vision_start_token_id=cfg.vision_start_token_id)
+            pos[:, j, :n] = q2.build_rope_index(
+                np.asarray(ids), grids, rope_cfg,
+                second_per_grid_ts=[1.0] * len(grids))
+            pos[:, j, n:] = pos[:, j, n - 1].max()
+
+        embed = self.params["decoder"]["embed"]
+        tok_emb = embed[jnp.asarray(ids_arr)]
+        spl = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                  jnp.asarray(splice_slot)[..., None], axis=1)
+        embeds = jnp.where(jnp.asarray(splice_mask)[..., None], spl, tok_emb)
+        vm = jnp.asarray(vis_mask)[..., None]
+        ds_list = []
+        for lvl in range(n_ds):
+            dsl = jnp.take_along_axis(jnp.asarray(deepstack[lvl], embed.dtype),
+                                      jnp.asarray(splice_slot)[..., None],
+                                      axis=1)
+            ds_list.append(jnp.where(vm, dsl, 0.0))
+        tokens, lengths = self._lm.greedy_batch(
+            self.params["decoder"], embeds, pos, n_prompts, max_new_tokens,
+            eos_id=min(eos) if eos else None, deepstack=ds_list or None)
+        return [decode_text(self.tokenizer,
+                            tokens[j, : lengths[j]].tolist(), eos)
+                for j in range(bsz)]
 
     def _rollout_sample(self, path, audio, text, max_new_tokens, eos,
                         temperature: float = 1.0):

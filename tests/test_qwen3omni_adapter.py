@@ -103,3 +103,27 @@ def test_forward_with_trace(tmp_path):
                       "scored_indices", "probability", "token_details"}
     assert len(t["token_details"][0]["top_alternatives"]) == 5
     assert abs(t["probability"] - float(probs[0])) < 1e-9
+
+
+def test_batched_generate_matches_sequential(tmp_path):
+    """Omni batched decode (deepstack prefill + M-RoPE steps in the device
+    loop) matches the per-sequence path token for token."""
+    from PIL import Image
+    import t2v_metrics_tpu as t2v
+
+    rng = np.random.default_rng(0)
+    imgs = []
+    for i in range(3):
+        p = str(tmp_path / f"i{i}.png")
+        Image.fromarray(rng.integers(0, 255, (40, 60, 3),
+                                     dtype=np.uint8)).save(p)
+        imgs.append(p)
+    txts = ["Describe this.", "What sound?", "Any cats?"]
+    scorer = t2v.VQAScore(model="qwen3-omni-test")
+    ad = scorer.model
+    for p_, t_ in zip(imgs, txts):  # warm the lazy vocab
+        ad._assemble_content(p_, None, t_)
+    seq = [ad.generate(images=[i], texts=[t], max_new_tokens=4)[0]
+           for i, t in zip(imgs, txts)]
+    batched = ad.generate(images=imgs, texts=txts, max_new_tokens=4)
+    assert batched == seq, (batched, seq)
