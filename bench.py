@@ -67,13 +67,8 @@ def flops_per_pair(cfg, enc_seq: int, ans_len: int) -> float:
     proj = (T * v.width * t.d_model + T * t.d_model ** 2) * 2
     S, A = enc_seq, ans_len
     hd = t.num_heads * t.d_kv
-    enc = t.enc_layers * (2 * S * t.d_model * hd * 2   # q,k
-                          + 2 * S * t.d_model * hd     # v,o (no, see below)
-                          + 2 * S * S * hd
-                          + 3 * S * t.d_model * t.d_ff) * 2
-    # correction: q,k,v,o are 4 projections total
-    enc = t.enc_layers * (4 * S * t.d_model * hd
-                          + 2 * S * S * hd
+    enc = t.enc_layers * (4 * S * t.d_model * hd       # q,k,v,o projections
+                          + 2 * S * S * hd             # QK^T + PV
                           + 3 * S * t.d_model * t.d_ff) * 2
     dec = t.dec_layers * (4 * A * t.d_model * hd       # self q,k,v,o
                           + 2 * A * A * hd

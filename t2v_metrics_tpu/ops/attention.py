@@ -403,10 +403,15 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
         # when the grid has many tiny programs; prefer few large tiles
         # (VMEM budget: q/k/v tiles + fp32 (block_q, block_k) scores).
         sq, sk = q.shape[-2], k.shape[-2]
-        nq = -(-sq // 512)
+        import os
+
+        # 768 measured best on v5e at the flagship shapes (S=640: one big
+        # q block beats two small ones — 57.2 vs 51.5 pairs/s device-only);
+        # override with T2V_FLASH_QCAP/KCAP for other regimes
+        nq = -(-sq // int(os.environ.get("T2V_FLASH_QCAP", "768")))
         block_q = (_round_up(-(-sq // nq), 128) if sq > 128
                    else _round_up(max(sq, 8), 8))
-        nk = -(-sk // 1024)
+        nk = -(-sk // int(os.environ.get("T2V_FLASH_KCAP", "1024")))
         block_k = _round_up(-(-sk // nk), 128) if sk > 128 else _round_up(max(sk, 8), 128)
         if rel_bias is not None and q.shape[-2] == k.shape[-2]:
             return flash_attention(q, k, v, kv_mask=kv_mask,
