@@ -64,6 +64,9 @@ class DecoderConfig:
     # Default False: the dense path is the numerics oracle and wins for
     # tiny expert counts.
     moe_dispatch: bool = False
+    moe_norm_topk: bool = True           # renormalize top-k router weights
+    moe_shared_ff: int = 0               # >0: shared expert + sigmoid gate
+                                         # (Qwen3-Omni talker MoE)
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +233,8 @@ def _moe_mlp(p, cfg: DecoderConfig, x):
     logits = xt @ p["router"]["w"]                        # (T, E)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     topv, topi = jax.lax.top_k(probs, cfg.experts_per_tok)
-    topv = topv / topv.sum(-1, keepdims=True)
+    if cfg.moe_norm_topk:
+        topv = topv / topv.sum(-1, keepdims=True)
     w = jnp.zeros_like(probs)
     w = w.at[jnp.arange(t)[:, None], topi].set(topv)      # (T, E)
     gu = jnp.einsum("th,ehi->tei", xt, p["gate_up"])      # (T, E, 2I)
@@ -238,12 +242,18 @@ def _moe_mlp(p, cfg: DecoderConfig, x):
     act = L.ACT_FNS[cfg.act](g) * u
     out = jnp.einsum("tei,eih->teh", act, p["down"])      # (T, E, H)
     out = (out * w[..., None].astype(out.dtype)).sum(axis=1)
+    if "shared" in p:  # Qwen3-Omni talker: shared expert, sigmoid-gated
+        sh = (L.ACT_FNS[cfg.act](xt @ p["shared"]["gate"]["w"])
+              * (xt @ p["shared"]["up"]["w"])) @ p["shared"]["down"]["w"]
+        gate = jax.nn.sigmoid(xt @ p["shared_gate"]["w"])
+        out = out + gate.astype(out.dtype) * sh
     return out.reshape(b, s, h).astype(x.dtype)
 
 
 def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
             position_ids: jnp.ndarray, attn_mask: jnp.ndarray | None = None,
-            cache=None, cache_pos=None, bidir_ids=None, deepstack=None):
+            cache=None, cache_pos=None, bidir_ids=None, deepstack=None,
+            want_hidden: bool = False):
     """embeds: (B, S, D). Returns (logits fp32, new_cache).
 
     Without cache: full causal self-attention (teacher-forced scoring).
@@ -297,7 +307,11 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
         logits = x @ params["embed"].T
     else:
         logits = x @ params["lm_head"]
-    return logits.astype(jnp.float32), (new_cache if cache is not None else None)
+    logits = logits.astype(jnp.float32)
+    out_cache = new_cache if cache is not None else None
+    if want_hidden:  # post-final-norm hidden (talker -> code predictor)
+        return logits, out_cache, x
+    return logits, out_cache
 
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
