@@ -253,7 +253,7 @@ def _moe_mlp(p, cfg: DecoderConfig, x):
 def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
             position_ids: jnp.ndarray, attn_mask: jnp.ndarray | None = None,
             cache=None, cache_pos=None, bidir_ids=None, deepstack=None,
-            want_hidden: bool = False):
+            want_hidden: bool = False, capture_layer: int | None = None):
     """embeds: (B, S, D). Returns (logits fp32, new_cache).
 
     Without cache: full causal self-attention (teacher-forced scoring).
@@ -281,6 +281,7 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
         cos_l, sin_l = cos_g, sin_g
 
     x = embeds
+    captured = embeds if capture_layer == 0 else None
     new_cache = []
     for i, blk in enumerate(params["blocks"]):
         sliding = (cfg.layer_types is not None
@@ -301,6 +302,10 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
         x = x + m
         if deepstack is not None and i < len(deepstack):
             x = x + deepstack[i].astype(x.dtype)
+        if capture_layer is not None and capture_layer == i + 1:
+            # HF hidden_states[k] = output of layer k (embeddings at k=0);
+            # captured AFTER the deepstack residual (see talker docstring)
+            captured = x
         new_cache.append(nc)
     x = _norm(x, params["ln_final"])
     if cfg.tie_embeddings:
@@ -309,8 +314,13 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
         logits = x @ params["lm_head"]
     logits = logits.astype(jnp.float32)
     out_cache = new_cache if cache is not None else None
+    extras = []
     if want_hidden:  # post-final-norm hidden (talker -> code predictor)
-        return logits, out_cache, x
+        extras.append(x)
+    if capture_layer is not None:
+        extras.append(captured)
+    if extras:
+        return (logits, out_cache, *extras)
     return logits, out_cache
 
 

@@ -98,6 +98,31 @@ def resolve_config(name: str) -> Qwen3OmniConfig:
                            text=_omni_text_30b())
 
 
+def resolve_talker_config():
+    """Talker config for the 30B-A3B checkpoints (HF
+    Qwen3OmniMoeTalkerConfig defaults: 20-layer 1024-wide MoE with 128
+    experts top-8 and a shared expert; 5-layer code predictor; 16-
+    quantizer Code2Wav at 24 kHz)."""
+    import dataclasses as dc
+
+    from . import qwen3omni_talker as tk
+
+    text = dc.replace(
+        dec.DecoderConfig(vocab_size=3072, d_model=1024, layers=20,
+                          heads=16, kv_heads=2, head_dim=64, d_ff=0,
+                          rope_theta=10000.0, mrope_section=(24, 20, 20),
+                          mrope_interleaved=True, qkv_bias=False,
+                          qk_norm=True),
+        num_experts=128, experts_per_tok=8, moe_d_ff=384,
+        moe_shared_ff=2048, moe_norm_topk=False)
+    predictor = dec.DecoderConfig(
+        vocab_size=2048, d_model=1024, layers=5, heads=16, kv_heads=8,
+        head_dim=128, d_ff=3072, rope_theta=10000.0, mrope_section=None,
+        qkv_bias=False, qk_norm=True)
+    return tk.TalkerConfig(text=text, predictor=predictor,
+                           code2wav=tk.Code2WavConfig())
+
+
 def splice_and_score(params: Params, cfg: Qwen3OmniConfig,
                      ids, splice_feats, splice_mask, splice_slot,
                      position_ids, attn_mask, ans_ids, ans_pos, ans_mask,

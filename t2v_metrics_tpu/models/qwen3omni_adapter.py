@@ -125,7 +125,19 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
             from transformers import Qwen3OmniMoeForConditionalGeneration
             hf = Qwen3OmniMoeForConditionalGeneration.from_pretrained(
                 repo, cache_dir=self.cache_dir, torch_dtype=torch.float32)
-            return qo.convert_qwen3omni(hf.state_dict(), cfg, dtype)
+            sd = hf.state_dict()
+            if any(k.startswith("talker.") for k in sd) \
+                    and "talker_params" not in self.kwargs:
+                # speech output available: convert the talker + vocoder too
+                from . import qwen3omni_talker as tk
+
+                tcfg = qo.resolve_talker_config()
+                self.kwargs["talker_config"] = tcfg
+                self.kwargs["talker_params"] = tk.convert_talker(sd, tcfg,
+                                                                 dtype)
+                self.kwargs["code2wav_params"] = tk.convert_code2wav(
+                    sd, tcfg.code2wav, dtype)
+            return qo.convert_qwen3omni(sd, cfg, dtype)
         except Exception as e:
             raise RuntimeError(
                 f"cannot load {repo}: {e}. Pass init='random' in offline "
@@ -305,10 +317,11 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
                  max_new_tokens: int = 256, return_audio: bool = False,
                  speaker: str = "Ethan", save_audio_path=None,
                  **kw) -> list[str]:
-        if return_audio:
-            raise NotImplementedError(
-                "speech output (talker) is not implemented; text only")
         assert len(images) == len(texts)
+        if return_audio:
+            return self._generate_with_audio(
+                images, texts, audio_paths, max_new_tokens, speaker,
+                save_audio_path, **kw)
         from .generation import CachedLM, decode_text
 
         cfg = self.config
@@ -512,3 +525,211 @@ class Qwen3OmniAdapter(Qwen2VLAdapter):
         import numpy as np
 
         return np.asarray(lm_probs, np.float32), traces
+
+    # ------------------------------------------------------------------
+    # speech output (talker + code2wav; reference qwen3omni_model.py
+    # :483-548 — return_audio/speaker/save_audio_path, 24 kHz wav)
+    # ------------------------------------------------------------------
+
+    def _talker_session(self):
+        from . import qwen3omni_talker as tk
+        from .qwen3omni_talker import TalkerSession
+
+        if getattr(self, "_talker", None) is not None:
+            return self._talker
+        tcfg = self.kwargs.get("talker_config")
+        tparams = self.kwargs.get("talker_params")
+        if tcfg is None or tparams is None:
+            raise RuntimeError(
+                "talker weights not loaded: pass talker_config= and "
+                "talker_params= (convert with "
+                "qwen3omni_talker.convert_talker/convert_code2wav from the "
+                "HF checkpoint's talker.*/code2wav.* tensors)")
+        c2w_params = self.kwargs.get("code2wav_params")
+        self._talker = (TalkerSession(tcfg, tparams), tcfg, c2w_params)
+        return self._talker
+
+    def _thinker_rollout_with_hiddens(self, path, audio, text,
+                                      max_new_tokens, eos, accept_layer):
+        """Greedy thinker rollout that also returns, per token (prompt +
+        generated), the layer-0 embeddings and the accept-layer hidden
+        (captured AFTER the deepstack residual — the layer-boundary value
+        the talker conditions on)."""
+        import jax
+        from . import decoder as dec2
+
+        cfg = self.config
+        ids, feats_list = self._assemble_content(path, audio, text)
+        n = len(ids)
+        s = _bucket(n, SEQ_BUCKETS)
+        n_ds = len(cfg.vision.deepstack_indexes)
+        d = cfg.text.d_model
+        t_max = max(sum(f.shape[0] for _, f, *_ in feats_list), 1)
+        ids_arr = np.zeros((1, s), np.int64)
+        ids_arr[0, :n] = ids
+        splice_mask = np.zeros((1, s), bool)
+        vis_mask = np.zeros((1, s), bool)
+        splice_slot = np.zeros((1, s), np.int64)
+        feats = np.zeros((1, t_max, d), np.float32)
+        deepstack = np.zeros((n_ds, 1, t_max, d), np.float32)
+        row = 0
+        grids = [g for _, _, _, g, _ in feats_list if g is not None]
+        mm_ids = {cfg.image_token_id, cfg.video_token_id, cfg.audio_token_id}
+        for tok, f, ds, _, _ in feats_list:
+            mask = ids_arr[0] == tok
+            mask[n:] = False
+            splice_mask[0] |= mask
+            if ds is not None:
+                vis_mask[0] |= mask
+                for lvl, dsf in enumerate(ds):
+                    deepstack[lvl, 0, row:row + f.shape[0]] = dsf
+            splice_slot[0][mask] = row + np.arange(mask.sum())
+            feats[0, row:row + f.shape[0]] = f
+            row += f.shape[0]
+        rope_cfg = q2.Qwen2VLConfig(
+            vision=q2.QwenVisionConfig(merge_size=cfg.vision.merge_size,
+                                       tokens_per_second=1),
+            text=cfg.text, image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id)
+        pos = np.zeros((3, 1, s), np.int64)
+        pos[:, 0, :n] = q2.build_rope_index(
+            np.asarray(ids), grids, rope_cfg,
+            second_per_grid_ts=[1.0] * len(grids))
+        last_pos = int(pos[:, 0, n - 1].max())
+
+        embed = self.params["decoder"]["embed"]
+        tok_emb = embed[jnp.asarray(ids_arr)]
+        spl = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                  jnp.asarray(splice_slot)[..., None], axis=1)
+        embeds = jnp.where(jnp.asarray(splice_mask)[..., None], spl, tok_emb)
+        vm = jnp.asarray(vis_mask)[..., None]
+        ds_list = []
+        for lvl in range(n_ds):
+            dsl = jnp.take_along_axis(
+                jnp.asarray(deepstack[lvl], embed.dtype),
+                jnp.asarray(splice_slot)[..., None], axis=1)
+            ds_list.append(jnp.where(vm, dsl, 0.0))
+
+        if not hasattr(self, "_spk_prefill"):
+            tcfg_ = cfg.text
+            self._spk_prefill = jax.jit(
+                lambda p, e, po, v, c, ds, al: dec2.forward(
+                    p["decoder"], tcfg_, e, po, v, cache=c, cache_pos=0,
+                    deepstack=ds, capture_layer=al),
+                static_argnames=("al",))
+            self._spk_step = jax.jit(
+                lambda p, e, po, v, c, cp, al: dec2.forward(
+                    p["decoder"], tcfg_, e, po, v, cache=c, cache_pos=cp,
+                    capture_layer=al),
+                static_argnames=("al",))
+
+        max_len = s + max_new_tokens
+        cache = dec.init_cache(cfg.text, 1, max_len, dtype=embed.dtype)
+        valid = np.zeros((1, max_len), bool)
+        valid[0, :n] = True
+        logits, cache, cap = self._spk_prefill(
+            self.params, embeds, jnp.asarray(pos), jnp.asarray(valid),
+            cache, ds_list or None, accept_layer)
+
+        all_ids = list(ids)
+        emb_rows = [np.asarray(embeds[0, :n], np.float32)]
+        hid_rows = [np.asarray(cap[0, :n], np.float32)]
+        nxt = int(jnp.argmax(logits[0, n - 1]))
+        for t in range(max_new_tokens):
+            all_ids.append(nxt)
+            e1 = embed[jnp.asarray([[nxt]])]
+            emb_rows.append(np.asarray(e1[0], np.float32))
+            if nxt in eos:
+                # HF collects hidden states for every generated token incl.
+                # eos; its embed suffices for the talker text projection
+                hid_rows.append(np.asarray(e1[0], np.float32) * 0)
+                break
+            cpos = s + t
+            valid[0, cpos] = True
+            pos1 = jnp.full((3, 1, 1), last_pos + 1 + t, jnp.int32)
+            logits, cache, cap1 = self._spk_step(
+                self.params, e1, pos1, jnp.asarray(valid), cache, cpos,
+                accept_layer)
+            hid_rows.append(np.asarray(cap1[0], np.float32))
+            nxt = int(jnp.argmax(logits[0, 0]))
+        else:
+            pass
+        thinker_ids = np.asarray(all_ids)
+        thinker_embed = np.concatenate(emb_rows, axis=0)[None]
+        thinker_hidden = np.concatenate(hid_rows, axis=0)[None]
+        mm_mask = np.isin(thinker_ids, list(mm_ids))
+        gen_ids = all_ids[n:]
+        return (thinker_ids, thinker_embed, thinker_hidden, mm_mask, n,
+                gen_ids, grids)
+
+    def _generate_with_audio(self, images, texts, audio_paths,
+                             max_new_tokens, speaker, save_audio_path,
+                             **kw):
+        """generate(return_audio=True): thinker rollout -> talker codec
+        generation -> code2wav -> (texts, waveforms at 24 kHz)."""
+        from . import qwen3omni_talker as tk
+        from .generation import decode_text
+
+        sess, tcfg, c2w_params = self._talker_session()
+        audio_paths = audio_paths or [None] * len(texts)
+        eos = {self.eos_token_id} - {None}
+        rng = np.random.default_rng(self.kwargs.get("seed", 0))
+        embed_table = self.params["decoder"]["embed"]
+
+        out_texts, out_wavs = [], []
+        for path, audio, text in zip(images, audio_paths, texts):
+            (t_ids, t_embed, t_hidden, mm_mask, n_prompt, gen_ids,
+             grids) = self._thinker_rollout_with_hiddens(
+                path, audio, text, max_new_tokens, eos,
+                tcfg.accept_hidden_layer)
+            out_texts.append(decode_text(self.tokenizer, gen_ids, eos))
+
+            talker_embeds, talker_ids, trailing, tts_pad = \
+                tk.build_talker_inputs(tcfg, sess.params, t_ids,
+                                       jnp.asarray(t_embed),
+                                       jnp.asarray(t_hidden), mm_mask,
+                                       embed_table, speaker, n_prompt)
+            # sequential 3D positions over the talker prompt (the talker's
+            # multimodal rope applies when grids are present; text parts
+            # are sequential — build with the same walker)
+            lt = talker_embeds.shape[1]
+            rope_cfg = q2.Qwen2VLConfig(
+                vision=q2.QwenVisionConfig(
+                    merge_size=self.config.vision.merge_size,
+                    tokens_per_second=1),
+                text=tcfg.text, image_token_id=self.config.image_token_id,
+                video_token_id=self.config.video_token_id,
+                vision_start_token_id=self.config.vision_start_token_id)
+            pos = np.zeros((3, 1, lt), np.int64)
+            pos[:, 0] = q2.build_rope_index(
+                np.asarray(talker_ids[0]), grids, rope_cfg,
+                second_per_grid_ts=[1.0] * len(grids))
+            codes = sess.generate_codes(
+                talker_embeds.astype(jnp.float32), jnp.asarray(pos),
+                trailing, tts_pad,
+                max_new_tokens=kw.get("talker_max_new_tokens", 512),
+                do_sample=kw.get("talker_do_sample", True),
+                temperature=kw.get("talker_temperature", 0.9),
+                top_k=kw.get("talker_top_k", 50),
+                top_p=kw.get("talker_top_p", 1.0),
+                repetition_penalty=kw.get("talker_repetition_penalty", 1.05),
+                rng=rng,
+                predictor_do_sample=kw.get("talker_do_sample", True))
+            if codes.shape[1] == 0 or c2w_params is None:
+                wav = np.zeros((0,), np.float32)
+            else:
+                wav = tk.chunked_decode(c2w_params, tcfg.code2wav,
+                                        codes[None])[0, 0]
+            out_wavs.append(wav)
+            if save_audio_path:
+                import wave as wavemod
+
+                with wavemod.open(str(save_audio_path), "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(24000)
+                    w.writeframes(
+                        np.clip(wav * 32767, -32768, 32767)
+                        .astype(np.int16).tobytes())
+        return out_texts, out_wavs

@@ -96,6 +96,9 @@ class TalkerConfig:
     tts_bos_token_id: int = 151672
     tts_eos_token_id: int = 151673
     tts_pad_token_id: int = 151671
+    # the last `suppress_band` codec-vocab ids are special tokens the
+    # talker must not emit (HF suppresses vocab-1024..vocab except eos)
+    suppress_band: int = 1024
 
 
 # ---------------------------------------------------------------------------
@@ -635,7 +638,8 @@ class TalkerSession:
         cfg = self.cfg
         params = self.params
         vocab = cfg.text.vocab_size
-        suppress = [i for i in range(vocab - 1024, vocab)
+        suppress = [i
+                    for i in range(max(vocab - cfg.suppress_band, 0), vocab)
                     if i != cfg.codec_eos_token_id]
 
         n = talker_embeds.shape[1]

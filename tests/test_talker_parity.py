@@ -118,7 +118,7 @@ def _tiny_talker():
         thinker_hidden_size=40, accept_hidden_layer=1,
         codec_eos_token_id=60, codec_nothink_id=54, codec_think_bos_id=55,
         codec_think_eos_id=56, codec_pad_id=52, codec_bos_id=53,
-        speaker_id=(("ethan", 57),))
+        speaker_id=(("ethan", 57),), suppress_band=12)
     sd = {f"talker.{k}": v for k, v in hf.state_dict().items()}
     params = tk2.convert_talker(sd, cfg)
     return hf, cfg, params
@@ -189,3 +189,177 @@ def test_code_predictor_parity():
         jnp2.asarray(valid), cache, 2)
     ours1 = np.asarray(hidden[:, 0] @ params["predictor"]["heads"][1])
     np.testing.assert_allclose(ours1, ref1, atol=3e-5, rtol=1e-4)
+
+
+def _tiny_c2w_params(num_quantizers=3, codebook=32):
+    from transformers.models.qwen3_omni_moe.configuration_qwen3_omni_moe import (
+        Qwen3OmniMoeCode2WavConfig)
+    from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe import (
+        Qwen3OmniMoeCode2Wav)
+
+    torch.manual_seed(5)
+    hf_cfg = Qwen3OmniMoeCode2WavConfig(
+        codebook_size=codebook, hidden_size=32, num_attention_heads=4,
+        num_key_value_heads=2, sliding_window=8, intermediate_size=64,
+        num_hidden_layers=2, num_quantizers=num_quantizers,
+        upsample_rates=(2, 2), upsampling_ratios=(2,), decoder_dim=16)
+    cfg = tk.Code2WavConfig(
+        codebook_size=codebook, num_quantizers=num_quantizers,
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, sliding_window=8,
+        upsampling_ratios=(2,), upsample_rates=(2, 2), decoder_dim=16)
+    hf = Qwen3OmniMoeCode2Wav(hf_cfg).eval()
+    sd = {f"code2wav.{k}": v for k, v in hf.state_dict().items()}
+    return tk.convert_code2wav(sd, cfg), cfg
+
+
+def test_speech_pipeline_end_to_end():
+    """build_talker_inputs -> generate_codes (greedy) -> chunked_decode on
+    a crafted thinker sequence: deterministic, finite, correctly shaped."""
+    import dataclasses
+    import jax.numpy as jnp2
+    from t2v_metrics_tpu.models import qwen3omni_talker as tk2
+
+    hf, cfg, params = _tiny_talker()
+    c2w_params, c2w_cfg = _tiny_c2w_params()
+    cfg = dataclasses.replace(
+        cfg, code2wav=c2w_cfg,
+        im_start_token_id=40, system_token_id=41, user_token_id=42,
+        assistant_token_id=43, tts_bos_token_id=10, tts_eos_token_id=11,
+        tts_pad_token_id=12)
+
+    rng = np.random.default_rng(0)
+    # [im_start system x x] [im_start user x x x] [im_start assistant nl t...]
+    ids = np.array([40, 41, 5, 6, 40, 42, 7, 8, 9, 40, 43, 3, 14, 15, 16, 17])
+    n_prompt = 13  # prompt ends after the first assistant text token
+    t = len(ids)
+    d_th = cfg.thinker_hidden_size
+    thinker_embed = jnp2.asarray(rng.standard_normal((1, t, d_th)),
+                                 jnp2.float32)
+    thinker_hidden = jnp2.asarray(rng.standard_normal((1, t, d_th)),
+                                  jnp2.float32)
+    mm_mask = np.zeros(t, bool)
+    mm_mask[6:8] = True  # pretend two multimodal positions in the user turn
+    embed_table = jnp2.asarray(rng.standard_normal((64, d_th)), jnp2.float32)
+
+    embeds, t_ids, trailing, tts_pad = tk2.build_talker_inputs(
+        cfg, params, ids, thinker_embed, thinker_hidden, mm_mask,
+        embed_table, "Ethan", n_prompt)
+    assert embeds.shape[2] == cfg.text.d_model
+    assert t_ids.shape[1] == embeds.shape[1]
+
+    sess = tk2.TalkerSession(cfg, params)
+    pos = np.broadcast_to(np.arange(embeds.shape[1])[None, None],
+                          (3, 1, embeds.shape[1])).copy()
+    codes = sess.generate_codes(embeds, jnp2.asarray(pos), trailing,
+                                tts_pad, max_new_tokens=6, do_sample=False,
+                                predictor_do_sample=False)
+    codes2 = sess.generate_codes(embeds, jnp2.asarray(pos), trailing,
+                                 tts_pad, max_new_tokens=6, do_sample=False,
+                                 predictor_do_sample=False)
+    assert codes.shape[0] == cfg.num_code_groups
+    assert 1 <= codes.shape[1] <= 6
+    np.testing.assert_array_equal(codes, codes2)  # greedy determinism
+
+    # vocoder expects codes < codebook_size; clamp groups into range
+    wav = tk2.chunked_decode(c2w_params, c2w_cfg,
+                             (codes % c2w_cfg.codebook_size)[None][:, :3],
+                             chunk_size=4, left_context_size=1)
+    # tiny conv geometry trims edge samples (HF-matching, see the
+    # chunked-decode parity test); real configs give T * total_upsample
+    assert wav.shape[-1] > 0
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
+
+class _ChatT5Tokenizer:
+    """SimpleT5Tokenizer variant that keeps <|im_start|>/<|im_end|> as
+    single tokens so the chatml structure survives for the talker."""
+
+    def __init__(self, vocab_size=512):
+        from t2v_metrics_tpu.tokenization import SimpleT5Tokenizer
+
+        self._t = SimpleT5Tokenizer(vocab_size)
+        for tok in ("<|im_start|>", "<|im_end|>", "system", "user",
+                    "assistant"):
+            self._t._id(tok)
+
+    def __getattr__(self, k):
+        return getattr(self._t, k)
+
+    def encode(self, text, add_special_tokens=True):
+        import re
+
+        parts = re.split(r"(<\|im_start\|>|<\|im_end\|>)", text)
+        ids = []
+        for part in parts:
+            if not part:
+                continue
+            if part in ("<|im_start|>", "<|im_end|>"):
+                ids.append(self._t._id(part))
+            else:
+                ids.extend(self._t._id(w) for w in part.split())
+        return ids
+
+    def __call__(self, text, add_special_tokens=True):
+        ids = self.encode(text)
+        if add_special_tokens:
+            ids = ids + [self._t.eos_token_id]
+
+        class _E:
+            pass
+
+        e = _E()
+        e.input_ids = ids
+        return e
+
+
+def test_adapter_generate_return_audio(tmp_path):
+    """Full omni generate(return_audio=True): thinker rollout with hidden
+    capture -> talker -> code2wav -> (texts, 24 kHz wavs) + wav file."""
+    import dataclasses
+    from PIL import Image
+    import t2v_metrics_tpu as t2v
+
+    hf, tcfg, tparams = _tiny_talker()
+    # groups must equal the vocoder's quantizers; codec vocab fits codebook
+    c2w_params, c2w_cfg = _tiny_c2w_params(num_quantizers=4, codebook=64)
+
+    tok = _ChatT5Tokenizer(512)
+    # thinker (qwen3-omni-test) has 2 layers; accept layer 1
+    tcfg = dataclasses.replace(
+        tcfg, code2wav=c2w_cfg, accept_hidden_layer=1,
+        thinker_hidden_size=48,  # matches qwen3-omni-test d_model
+        im_start_token_id=tok._t._id("<|im_start|>"),
+        system_token_id=tok._t._id("system"),
+        user_token_id=tok._t._id("user"),
+        assistant_token_id=tok._t._id("assistant"),
+        tts_bos_token_id=8, tts_eos_token_id=9, tts_pad_token_id=10)
+    # the talker projections consume thinker_hidden_size=40 in the tiny HF
+    # config; rebuild projections for 48 by padding fc1 weights
+    import jax.numpy as jnp2
+
+    for proj in ("text_projection", "hidden_projection"):
+        w = tparams[proj]["fc1"]["w"]
+        tparams[proj]["fc1"]["w"] = jnp2.concatenate(
+            [w, jnp2.zeros((8, w.shape[1]), w.dtype)], axis=0)
+
+    rng = np.random.default_rng(0)
+    img = str(tmp_path / "i.png")
+    Image.fromarray(rng.integers(0, 255, (40, 60, 3),
+                                 dtype=np.uint8)).save(img)
+
+    scorer = t2v.VQAScore(model="qwen3-omni-test", tokenizer=tok,
+                          talker_config=tcfg, talker_params=tparams,
+                          code2wav_params=c2w_params)
+    wav_path = str(tmp_path / "out.wav")
+    texts, wavs = scorer.model.generate(
+        images=[img], texts=["Say something."], max_new_tokens=4,
+        return_audio=True, speaker="Ethan", save_audio_path=wav_path,
+        talker_max_new_tokens=5, talker_do_sample=False)
+    assert isinstance(texts[0], str)
+    assert wavs[0].ndim == 1 and np.isfinite(wavs[0]).all()
+    import wave as wavemod
+
+    with wavemod.open(wav_path, "rb") as w:
+        assert w.getframerate() == 24000
+        assert w.getnframes() == len(wavs[0])
