@@ -121,6 +121,21 @@ def partition_specs(params, tp_axis: str = "tp"):
                                             is_leaf=lambda x: x is None)
 
 
+def abstract_sharded_params(params, mesh: Mesh, tp_axis: str = "tp"):
+    """Pytree of ShapeDtypeStruct with TP shardings attached.
+
+    `params` may be real arrays or ShapeDtypeStructs (e.g. from
+    jax.eval_shape over an init fn). Use for AOT-compiling / memory-planning
+    models too large to materialize on the host — jit(...).lower(abstract)
+    .compile() runs the full GSPMD partitioner without allocating weights.
+    """
+    specs = partition_specs(params, tp_axis)
+    return jax.tree.map(
+        lambda x, s: None if x is None else jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: x is None)
+
+
 def shard_params(params, mesh: Mesh, tp_axis: str = "tp"):
     """Place a param pytree onto the mesh with TP shardings."""
     specs = partition_specs(params, tp_axis)
