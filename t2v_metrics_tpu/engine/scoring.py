@@ -33,6 +33,47 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1] if n <= buckets[-1] else ((n + 63) // 64) * 64
 
 
+_DEVICE_RESIZE_MAX_SIDE = 1024
+
+
+def _device_resize_batch(images) -> np.ndarray | None:
+    """(N, H, W, 3) uint8 stack if every image is a same-shape uint8 HWC
+    array no larger than _DEVICE_RESIZE_MAX_SIDE; else None (host path).
+
+    Shipping source-resolution pixels lets _encode_fn run the whole
+    preprocess (pad/resize/normalize) on device, collapsing host work per
+    chunk to a memcpy — the PIL resize was the dominant host cost in the
+    pipelined batch_forward."""
+    import os
+    if os.environ.get("T2V_DEVICE_PREPROC", "1") != "1":
+        return None
+    if not images:
+        return None
+    first = images[0]
+    if not (isinstance(first, np.ndarray) and first.dtype == np.uint8
+            and first.ndim == 3 and first.shape[2] == 3
+            and max(first.shape[:2]) <= _DEVICE_RESIZE_MAX_SIDE):
+        return None
+    for im in images[1:]:
+        if not (isinstance(im, np.ndarray) and im.dtype == np.uint8
+                and im.shape == first.shape):
+            return None
+    # Reuse a staging buffer: a fresh np.stack allocation page-faults its
+    # way through ~100 MB (measured 0.55 s/chunk); copying into a warm
+    # buffer is ~10x faster. Safe to reuse because jnp.asarray copies out
+    # synchronously before the next chunk overwrites it.
+    shape = (len(images),) + first.shape
+    buf = _STAGING.get(shape)
+    if buf is None:
+        buf = _STAGING[shape] = np.empty(shape, np.uint8)
+    for j, im in enumerate(images):
+        buf[j] = im
+    return buf
+
+
+_STAGING: dict = {}
+
+
 ENC_BUCKETS = (640, 704, 768, 896, 1024, 1280, 1536, 2048)
 ANS_BUCKETS = (4, 8, 16, 32, 64)
 IMG_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
@@ -59,12 +100,31 @@ class CLIPT5Engine:
         # cfg is a static dataclass — close over it rather than tracing it.
         # pixels arrive uint8 (4x smaller transfer); normalization happens
         # in-jit and the result is cast to the weight dtype so the ViT runs
-        # on the bf16 MXU path.
+        # on the bf16 MXU path. uint8 batches at a non-target size get the
+        # FULL preprocess in-jit (pad-to-square / shortest-side resize via
+        # the PIL-parity separable matmuls in ops/image.py) — the host then
+        # only decodes and stacks, which removes the per-chunk PIL resize
+        # from the pipeline's critical path.
         from ..constants import CLIP_MEAN, CLIP_STD
+        from ..ops import image as jimage
 
         def _encode_fn(params, pixels):
             if pixels.dtype == jnp.uint8:
+                S = cfg.vision.image_size
                 x = pixels.astype(jnp.float32) / 255.0
+                if x.shape[-3] != S or x.shape[-2] != S:
+                    if cfg.image_aspect_ratio == "pad":
+                        # PIL fills with tuple(int(m*255)) — match exactly.
+                        fill = [int(m * 255) / 255.0 for m in CLIP_MEAN]
+                        x = jimage.pad_square(x, fill)
+                        x = jimage.resize(x, S, S)
+                    else:
+                        rh, rw = jimage.resize_shortest_side(
+                            (x.shape[-3], x.shape[-2]), S)
+                        x = jimage.resize(x, rh, rw)
+                        x = jimage.center_crop(x, S, S)
+                    # PIL clamps each resize pass to uint8 range
+                    x = jnp.clip(x, 0.0, 1.0)
                 x = ((x - jnp.asarray(CLIP_MEAN, jnp.float32))
                      / jnp.asarray(CLIP_STD, jnp.float32))
             else:
@@ -100,6 +160,11 @@ class CLIPT5Engine:
             lambda params, tok, cache, cpos, ckv, enc_mask:
             jt5.decode_step(params["t5"], cfg.t5, tok, cache, cpos, ckv,
                             enc_mask))
+        self._greedy = jax.jit(
+            lambda params, enc_hidden, enc_mask, max_new, eos:
+            jt5.greedy_decode(params["t5"], cfg.t5, enc_hidden, enc_mask,
+                              max_new, eos),
+            static_argnames=("max_new", "eos"))
 
     # -- host-side assembly -------------------------------------------------
 
@@ -139,12 +204,21 @@ class CLIPT5Engine:
     def encode_images(self, images) -> jnp.ndarray:
         """images: list of paths/arrays -> (M, T, D) device features.
 
-        M is bucket-padded (repeat-last) to bound recompilation.
+        M is bucket-padded (repeat-last) to bound recompilation. Same-shape
+        uint8 array batches skip the host PIL resize entirely — pixels ship
+        at source resolution and _encode_fn resizes on the MXU (one compile
+        per distinct source shape; capped at 1024px so a 128-image chunk
+        stays ~100 MB on the wire).
         """
         pad_square = self.cfg.image_aspect_ratio == "pad"
+        pixels = _device_resize_batch(images)
+        if pixels is not None:
+            return self._encode_pixels(pixels, len(images))
         pixels = load_batch(images, self.cfg.vision.image_size,
                             pad_square=pad_square, raw_uint8=True)
-        m = len(images)
+        return self._encode_pixels(pixels, len(images))
+
+    def _encode_pixels(self, pixels: np.ndarray, m: int) -> jnp.ndarray:
         mb = _bucket(m, IMG_BUCKETS)
         if mb > m:
             pixels = np.concatenate(
@@ -227,8 +301,12 @@ class CLIPT5Engine:
                      for t in texts]
         answers = [cft5.format_answer(at.format(t), self.cfg.conversation)
                    for t in texts]
-        feats = self.encode_images(uniq)
+        # Host work (tokenize/splice) BEFORE the pixel transfer: device_put
+        # of a big pixel batch can stall behind the previous chunk's queued
+        # compute, so everything host-side must come first to stay
+        # overlapped (axon-tunnel pipelining).
         arrays = self._build_text_arrays(questions, answers)
+        feats = self.encode_images(uniq)
         n = len(texts)
         nb = _bucket(n, TXT_BUCKETS)
         arrays = tuple(np.concatenate([a, np.repeat(a[-1:], nb - n, axis=0)])
@@ -248,41 +326,35 @@ class CLIPT5Engine:
 
     def generate(self, images, texts, max_new_tokens: int = 128,
                  **_) -> list[str]:
-        """Greedy T5 decode conditioned on the image (the v3.0 CLIP-FlanT5
-        LLaVA-style generate). Encoder + cross-attention k/v run once per
-        sample; each step is a cached single-token decode (O(L), not the
-        teacher-forced O(L^2) re-decode).
+        """Batched greedy T5 decode conditioned on the images (the v3.0
+        CLIP-FlanT5 LLaVA-style generate). One encoder pass for the whole
+        batch, then a single device-side lax.fori_loop decode
+        (jt5.greedy_decode) — zero per-token host round-trips.
         """
         assert len(images) == len(texts)
         cfg = self.cfg
         eos = getattr(self.tokenizer, "eos_token_id", 1)
+        n = len(texts)
+        questions = [cft5.format_question(t, cfg.conversation) for t in texts]
+        feats = self.encode_images(images)
+        arrays = self._build_text_arrays(questions, [""] * n)
+        nb = _bucket(n, TXT_BUCKETS)
+        if nb > n:
+            arrays = tuple(np.concatenate([a, np.repeat(a[-1:], nb - n,
+                                                        axis=0)])
+                           for a in arrays)
+            feats = jnp.concatenate([feats,
+                                     jnp.repeat(feats[-1:], nb - n, axis=0)])
+        ids, img_mask, img_slot, enc_mask = (jnp.asarray(a)
+                                             for a in arrays[:4])
+        idx = jnp.arange(nb, dtype=jnp.int32)
+        enc_hidden = self._encode_hidden(self.params, feats, ids, img_mask,
+                                         img_slot, enc_mask, idx, idx)
+        tokens = np.asarray(self._greedy(self.params, enc_hidden, enc_mask,
+                                         max_new=max_new_tokens, eos=eos))
         outs = []
-        for image, text in zip(images, texts):
-            q = cft5.format_question(text, cfg.conversation)
-            feats = self.encode_images([image])
-            arrays = self._build_text_arrays([q], [""])
-            ids, img_mask, img_slot, enc_mask = (jnp.asarray(a)
-                                                 for a in arrays[:4])
-            one = jnp.zeros((1,), jnp.int32)
-            enc_hidden = self._encode_hidden(
-                self.params, feats, ids, img_mask, img_slot, enc_mask,
-                one, one)
-            emask = jnp.asarray(arrays[3])
-            ckv = self._cross_kv(self.params, enc_hidden)
-            cache = jt5.init_dec_cache(self.params["t5"], cfg.t5, 1,
-                                       max_new_tokens + 1)
-
-            gen = []
-            tok = cfg.t5.decoder_start_token_id
-            for step in range(max_new_tokens):
-                logits, cache = self._dec_step(
-                    self.params, jnp.asarray([[tok]], jnp.int32), cache,
-                    step, ckv, emask)
-                nxt = int(jnp.argmax(logits[0]))
-                if nxt == eos:
-                    break
-                gen.append(nxt)
-                tok = nxt
+        for row in tokens[:n]:
+            gen = [int(t) for t in row if t != 0]
             try:
                 outs.append(self.tokenizer.decode(
                     gen, skip_special_tokens=True).strip())
@@ -303,10 +375,20 @@ class CLIPEngine:
         self.params = params
 
         from ..constants import CLIP_MEAN, CLIP_STD
+        from ..ops import image as jimage
 
         def _img_fn(params, pixels):
             if pixels.dtype == jnp.uint8:
+                S = vcfg.image_size
                 x = pixels.astype(jnp.float32) / 255.0
+                if x.shape[-3] != S or x.shape[-2] != S:
+                    # OpenCLIP eval transform: Resize(shortest)+CenterCrop,
+                    # run on-device (see CLIPT5Engine._encode_fn).
+                    rh, rw = jimage.resize_shortest_side(
+                        (x.shape[-3], x.shape[-2]), S)
+                    x = jimage.resize(x, rh, rw)
+                    x = jimage.center_crop(x, S, S)
+                    x = jnp.clip(x, 0.0, 1.0)
                 x = ((x - jnp.asarray(CLIP_MEAN, jnp.float32))
                      / jnp.asarray(CLIP_STD, jnp.float32))
             else:
@@ -327,8 +409,10 @@ class CLIPEngine:
     def score_matrix(self, images, texts, **_) -> np.ndarray:
         from ..constants import CLIP_MEAN, CLIP_STD
 
-        pixels = load_batch(images, self.vcfg.image_size, CLIP_MEAN, CLIP_STD,
-                            raw_uint8=True)
+        pixels = _device_resize_batch(images)
+        if pixels is None:
+            pixels = load_batch(images, self.vcfg.image_size, CLIP_MEAN,
+                                CLIP_STD, raw_uint8=True)
         m = len(images)
         mb = _bucket(m, IMG_BUCKETS)
         if mb > m:

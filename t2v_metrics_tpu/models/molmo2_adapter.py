@@ -246,6 +246,8 @@ class Molmo2Adapter(VQAScoreModel):
         if do_sample is None:
             do_sample = temperature > 0
         sample = bool(do_sample and temperature > 0)
+        if not sample:
+            return self._generate_batched(images, texts, max_new_tokens)
         outs = []
         for path, text in zip(images, texts):
             gen, _ = self._rollout(path, text, max_new_tokens,
@@ -253,3 +255,40 @@ class Molmo2Adapter(VQAScoreModel):
                                    sample=sample, top_p=top_p)
             outs.append(decode_text(self.tokenizer, gen, self._special_ids()))
         return outs
+
+    def _generate_batched(self, images, texts, max_new_tokens) -> list[str]:
+        """Batched greedy decode via CachedLM.greedy_batch — same assembly
+        as _forward_batched, without the answer-gather head."""
+        cfg = self.config
+        samples = [self._assemble_arrays(p_, q_)
+                   for p_, q_ in zip(images, texts)]
+        bsz = len(samples)
+        s = _bucket(max(len(i) for i, _ in samples))
+        t_max = max(f.shape[0] for _, f in samples)
+        ids_arr = np.zeros((bsz, s), np.int64)
+        vis_mask = np.zeros((bsz, s), bool)
+        vis_slot = np.zeros((bsz, s), np.int64)
+        feats = np.zeros((bsz, max(t_max, 1), cfg.text.d_model), np.float32)
+        n_prompts = np.zeros((bsz,), np.int32)
+        for j, (ids, f) in enumerate(samples):
+            n = len(ids)
+            ids_arr[j, :n] = ids
+            vm = ids_arr[j] == cfg.image_token_id
+            vm[n:] = False
+            vis_mask[j] = vm
+            vis_slot[j][vm] = np.arange(vm.sum())
+            feats[j, : f.shape[0]] = f
+            n_prompts[j] = n
+        embed = self.params["decoder"]["embed"]
+        tok = embed[jnp.asarray(ids_arr)]
+        vis = jnp.take_along_axis(jnp.asarray(feats, embed.dtype),
+                                  jnp.asarray(vis_slot)[..., None], axis=1)
+        embeds = jnp.where(jnp.asarray(vis_mask)[..., None], vis, tok)
+        pos = np.broadcast_to(np.arange(s)[None], (bsz, s)).copy()
+        eos = self._eos_ids()
+        tokens, lengths = self._lm.greedy_batch(
+            self.params["decoder"], embeds, pos, n_prompts, max_new_tokens,
+            eos_id=min(eos) if eos else None)
+        return [decode_text(self.tokenizer, tokens[j, : lengths[j]].tolist(),
+                            self._special_ids())
+                for j in range(bsz)]

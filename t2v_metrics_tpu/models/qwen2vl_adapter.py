@@ -470,6 +470,10 @@ class Qwen2VLAdapter(VQAScoreModel):
             do_sample = temperature > 0
         sample = bool(do_sample and temperature > 0)
         arrays, prompt_lens = self._prepare_pairs(images, list(texts), fps)
+        if not sample:
+            # device-side batched loop: zero per-token host round-trips
+            return self._generate_batched(arrays, prompt_lens,
+                                          max_new_tokens)
         ids, feats, vis_mask, vis_slot, pos, attn = arrays
         decode = getattr(self.tokenizer, "decode", lambda x: str(x))
         outs = []
@@ -480,6 +484,48 @@ class Qwen2VLAdapter(VQAScoreModel):
                 temperature=temperature if sample else 1.0,
                 sample=sample, top_p=top_p)
             if gen and self.eos_token_id is not None and gen[-1] == self.eos_token_id:
+                gen = gen[:-1]
+            outs.append(decode(gen).strip())
+        return outs
+
+    def _split_feats_batched(self, feats):
+        """(P, T, D) visual features -> (main, deepstack levels or None).
+        Qwen3-VL overrides: its feats rows stack deepstack levels."""
+        return feats, None
+
+    def _generate_batched(self, arrays, prompt_lens,
+                          max_new_tokens: int) -> list[str]:
+        """Batched greedy decode via CachedLM.greedy_batch (one jitted
+        lax.fori_loop; reference qwen2vl_model.py:495-563 semantics)."""
+        from .generation import CachedLM
+
+        cfg = self.config
+        if not hasattr(self, "_lm"):
+            self._lm = CachedLM(cfg.text)
+        ids, feats, vis_mask, vis_slot, pos, attn = arrays
+        main, deepstack = self._split_feats_batched(feats)
+        embed = self.params["decoder"]["embed"]
+        tok = embed[jnp.asarray(ids)]
+        slot = jnp.asarray(vis_slot)[..., None]
+        vm = jnp.asarray(vis_mask)[..., None]
+        spl = jnp.take_along_axis(jnp.asarray(main, embed.dtype), slot,
+                                  axis=1)
+        embeds = jnp.where(vm, spl, tok)
+        ds_list = None
+        if deepstack is not None and deepstack.shape[0]:
+            ds_list = [jnp.where(vm, jnp.take_along_axis(
+                jnp.asarray(deepstack[lvl], embed.dtype), slot, axis=1), 0.0)
+                for lvl in range(deepstack.shape[0])]
+        tokens, lengths = self._lm.greedy_batch(
+            self.params["decoder"], embeds, pos,
+            np.asarray(prompt_lens, np.int32), max_new_tokens,
+            eos_id=self.eos_token_id, deepstack=ds_list)
+        decode = getattr(self.tokenizer, "decode", lambda x: str(x))
+        outs = []
+        for j in range(len(prompt_lens)):
+            gen = tokens[j, : lengths[j]].tolist()
+            if gen and self.eos_token_id is not None \
+                    and gen[-1] == self.eos_token_id:
                 gen = gen[:-1]
             outs.append(decode(gen).strip())
         return outs

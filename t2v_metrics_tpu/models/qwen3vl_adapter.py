@@ -241,6 +241,10 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             temperature=float(temperature))
         return np.exp(np.asarray(logp, np.float32))
 
+    def _split_feats_batched(self, feats):
+        # (P, 1+n_ds, T, D) -> main (P, T, D) + deepstack (n_ds, P, T, D)
+        return feats[:, 0], np.moveaxis(feats[:, 1:], 1, 0)
+
     def _greedy_steps(self, ids_row, feats, vis_mask, vis_slot, pos_row,
                       n_prompt, max_new_tokens, temperature=1.0,
                       deepstack=None, **kw):

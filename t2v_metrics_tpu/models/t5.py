@@ -373,3 +373,38 @@ def init_t5(key, cfg: T5Config, dtype=jnp.float32) -> Params:
         "lm_head": None if cfg.tie_word_embeddings else
                    (jax.random.normal(keys[-1], (cfg.d_model, cfg.vocab_size)) * 0.02).astype(dtype),
     }
+
+
+def greedy_decode(params: Params, cfg: T5Config, enc_hidden: jnp.ndarray,
+                  enc_mask: jnp.ndarray, max_new_tokens: int,
+                  eos_id: int = 1, pad_id: int = 0) -> jnp.ndarray:
+    """Batched greedy decode entirely on device (lax.fori_loop over cached
+    decode_step — zero per-token host round-trips; the reference's
+    model.generate equivalent for CLIP-FlanT5, reference mm_utils.py:182-241
+    loader + HF generate in clip_t5_model.py).
+
+    Returns (B, max_new_tokens) int32, pad_id after EOS. EOS itself is not
+    emitted into the output (matches tokenizer.decode(skip_special) flow).
+    """
+    from jax import lax
+
+    B = enc_hidden.shape[0]
+    ckv = cross_kv(params, cfg, enc_hidden)
+    cache = init_dec_cache(params, cfg, B, max_new_tokens + 1)
+    tokens = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
+    done = jnp.zeros((B,), bool)
+    tok = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
+
+    def body(step, carry):
+        tok, cache, tokens, done = carry
+        logits, cache = decode_step(params, cfg, tok, cache, step, ckv,
+                                    enc_mask)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        emit = jnp.where(done | (nxt == eos_id), pad_id, nxt)
+        tokens = lax.dynamic_update_slice(tokens, emit[:, None], (0, step))
+        done = done | (nxt == eos_id)
+        return (nxt[:, None], cache, tokens, done)
+
+    _, _, tokens, _ = lax.fori_loop(0, max_new_tokens, body,
+                                    (tok, cache, tokens, done))
+    return tokens

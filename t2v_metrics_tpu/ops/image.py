@@ -112,6 +112,23 @@ def resize_shortest_side(img_hw: tuple[int, int], target: int) -> tuple[int, int
     return max(1, int(round(h * target / w))), target
 
 
+def pad_square(img: jnp.ndarray, fill_rgb) -> jnp.ndarray:
+    """Pad (..., H, W, C) float image to square with a background color,
+    image centered — device twin of media.images.expand2square_np
+    (reference mm_utils.py:128-139). Static shapes; no-op when H == W."""
+    h, w = img.shape[-3], img.shape[-2]
+    if h == w:
+        return img
+    side = max(h, w)
+    fill = jnp.asarray(fill_rgb, dtype=img.dtype)
+    out = jnp.broadcast_to(fill, img.shape[:-3] + (side, side, img.shape[-1]))
+    if w > h:
+        top = (side - h) // 2
+        return out.at[..., top:top + h, :, :].set(img)
+    left = (side - w) // 2
+    return out.at[..., :, left:left + w, :].set(img)
+
+
 def center_crop(img: jnp.ndarray, crop_h: int, crop_w: int) -> jnp.ndarray:
     """Center-crop (..., H, W, C), matching torchvision CenterCrop."""
     h, w = img.shape[-3], img.shape[-2]

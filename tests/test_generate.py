@@ -203,3 +203,41 @@ def test_camerabench_caption_generation_batched(tmp_path):
     assert results[2]["generated_caption"] and results[2]["error"] is None
     # order preserved
     assert [r["video_path"] for r in results] == ["a.mp4", "nope.mp4", "b.mp4"]
+
+
+def test_qwen_batched_generate_matches_host_loop(image, video):
+    """Qwen2.5-VL + Qwen3-VL (deepstack) batched greedy must equal the
+    per-sequence host-loop tokens (the sampling fallback path)."""
+    for name in ["qwen2.5-vl-test", "qwen3-vl-test"]:
+        scorer = t2v.VQAScore(model=name)
+        ad = scorer.model
+        imgs = [image, video, image]
+        txts = ["Describe this.", "What moves?", "Any cats?"]
+        arrays, plens = ad._prepare_pairs(imgs, txts, None)
+        ids, feats, vis_mask, vis_slot, pos, attn = arrays
+        seq = []
+        decode = ad.tokenizer.decode
+        for j in range(3):
+            gen, _ = ad._greedy_steps(ids[j], feats[j], vis_mask[j],
+                                      vis_slot[j], pos[:, j], plens[j], 5)
+            if gen and ad.eos_token_id is not None \
+                    and gen[-1] == ad.eos_token_id:
+                gen = gen[:-1]
+            seq.append(decode(gen).strip())
+        batched = ad.generate(images=imgs, texts=txts, max_new_tokens=5)
+        assert batched == seq, (name, batched, seq)
+
+
+def test_molmo2_batched_generate_matches_host_loop(image, video):
+    from t2v_metrics_tpu.models.generation import decode_text
+
+    scorer = t2v.VQAScore(model="molmo2-test")
+    ad = scorer.model
+    imgs = [image, video, image]
+    txts = ["Describe this.", "What moves?", "Any cats?"]
+    seq = []
+    for p, t in zip(imgs, txts):
+        gen, _ = ad._rollout(p, t, 5, 1.0)
+        seq.append(decode_text(ad.tokenizer, gen, ad._special_ids()))
+    batched = ad.generate(images=imgs, texts=txts, max_new_tokens=5)
+    assert batched == seq, (batched, seq)

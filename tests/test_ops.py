@@ -265,3 +265,72 @@ class TestFlashBidirOverlay:
                                     bidir_ids=jnp.asarray(bidir))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestDevicePreprocess:
+    """On-device preprocessing fast path (engine ships source-res uint8)."""
+
+    def test_pad_square_matches_host(self):
+        from t2v_metrics_tpu.media.images import expand2square_np
+
+        rng = np.random.default_rng(0)
+        for h, w in [(100, 73), (73, 100), (64, 64)]:
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            fill = (122, 116, 104)
+            host = expand2square_np(img, fill)
+            dev = image_ops.pad_square(
+                jnp.asarray(img, jnp.float32) / 255.0,
+                [f / 255.0 for f in fill])
+            np.testing.assert_allclose(np.asarray(dev) * 255.0,
+                                       host.astype(np.float32), atol=1e-4)
+
+    def test_engine_device_preprocess_matches_pil(self):
+        """encode_images on same-shape uint8 arrays routes pad+resize to the
+        device and must match the host PIL path up to PIL's per-pass uint8
+        rounding (the device path stays in float)."""
+        import t2v_metrics_tpu as t2v
+        from t2v_metrics_tpu.engine import scoring as S
+
+        scorer = t2v.VQAScore(model="clip-flant5-test", init="random")
+        eng = scorer.model.engine
+        rng = np.random.default_rng(7)
+        imgs = [rng.integers(0, 255, (100, 73, 3), dtype=np.uint8)
+                for _ in range(4)]
+
+        assert S._device_resize_batch(imgs) is not None
+        # mixed shapes / dtypes / paths fall back to the host path
+        assert S._device_resize_batch(
+            imgs + [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)]) is None
+        assert S._device_resize_batch(["a.jpg"]) is None
+        assert S._device_resize_batch(
+            [i.astype(np.float32) for i in imgs]) is None
+
+        fast = np.asarray(eng.encode_images(imgs))
+        orig = S._device_resize_batch
+        try:
+            S._device_resize_batch = lambda images: None
+            host = np.asarray(eng.encode_images(imgs))
+        finally:
+            S._device_resize_batch = orig
+        scale = np.abs(host).max()
+        assert np.abs(fast - host).max() / scale < 0.02  # uint8 rounding
+
+    def test_clip_engine_device_preprocess(self):
+        """CLIPScore path: shortest-side resize + center crop on device."""
+        import t2v_metrics_tpu as t2v
+        from t2v_metrics_tpu.engine import scoring as S
+
+        scorer = t2v.CLIPScore(model="clipscore-test", init="random")
+        eng = scorer.model.engine
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 255, (96, 80, 3), dtype=np.uint8)
+                for _ in range(3)]
+        texts = ["a dog", "a cat"]
+        fast = eng.score_matrix(imgs, texts)
+        orig = S._device_resize_batch
+        try:
+            S._device_resize_batch = lambda images: None
+            host = eng.score_matrix(imgs, texts)
+        finally:
+            S._device_resize_batch = orig
+        np.testing.assert_allclose(fast, host, atol=5e-3)
