@@ -390,6 +390,18 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
         # Flash pays off for longer sequences; tiny shapes keep XLA fusion.
         impl = "flash" if (_on_tpu() and q.shape[-2] * k.shape[-2] > 128 * 128
                            and pltpu is not None) else "reference"
+        # Plain full bidirectional attention on short, non-tile-aligned
+        # sequences (the ViT towers: T=257, thousands of tiny batchxhead
+        # programs) loses to XLA's fused dense path: profiled on v5e, the
+        # flash kernel + its pad-to-block HBM traffic took 32% of encode
+        # time for ~4% of its FLOPs. Keep flash for masked/biased/longer
+        # shapes where O(S^2) materialization or the mask structure pays.
+        if (impl == "flash" and bias is None and rel_bias is None
+                and not causal and local_window is None
+                and segment_ids is None and bidir_ids is None
+                and kv_mask is None and q.shape[-2] == k.shape[-2]
+                and q.shape[-2] % 128 != 0 and q.shape[-2] <= 512):
+            impl = "reference"
     if bidir_ids is not None and (impl != "flash"
                                   or not (causal or local_window)):
         # flash handles bidir only as an overlay on a causal/window mask
