@@ -33,17 +33,26 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1] if n <= buckets[-1] else ((n + 63) // 64) * 64
 
 
-_DEVICE_RESIZE_MAX_SIDE = 1024
+# Device-side preprocess pays only while the extra pixels shipped are cheap:
+# on the axon tunnel (~20-45 MB/s H2D) transfer bytes dominate, so sources
+# larger than ~the model input size go through the host-resize path (PIL
+# pipeline, threaded), which ships the small resized uint8 batch instead.
+_DEVICE_RESIZE_MAX_SIDE = int(
+    __import__("os").environ.get("T2V_DEVICE_PREPROC_MAX_SIDE", "384"))
 
 
 def _device_resize_batch(images) -> np.ndarray | None:
-    """(N, H, W, 3) uint8 stack if every image is a same-shape uint8 HWC
-    array no larger than _DEVICE_RESIZE_MAX_SIDE; else None (host path).
+    """(N, H, W*3) channel-flattened uint8 stack if every image is a
+    same-shape uint8 HWC array no larger than _DEVICE_RESIZE_MAX_SIDE; else
+    None (host path).
 
     Shipping source-resolution pixels lets _encode_fn run the whole
     preprocess (pad/resize/normalize) on device, collapsing host work per
     chunk to a memcpy — the PIL resize was the dominant host cost in the
-    pipelined batch_forward."""
+    pipelined batch_forward. The (H, W*C) flattening is free on the host
+    (same bytes) and critical on the TPU: a minor dim of 3 pads to the
+    128-lane tile, making resize matmuls ~40x slower (measured ~4 s vs
+    ~40 ms per 128x512x512 chunk on v5e)."""
     import os
     if os.environ.get("T2V_DEVICE_PREPROC", "1") != "1":
         return None
@@ -62,12 +71,14 @@ def _device_resize_batch(images) -> np.ndarray | None:
     # way through ~100 MB (measured 0.55 s/chunk); copying into a warm
     # buffer is ~10x faster. Safe to reuse because jnp.asarray copies out
     # synchronously before the next chunk overwrites it.
-    shape = (len(images),) + first.shape
+    h, w, c = first.shape
+    shape = (len(images), h, w * c)
     buf = _STAGING.get(shape)
     if buf is None:
         buf = _STAGING[shape] = np.empty(shape, np.uint8)
+    view = buf.reshape(len(images), h, w, c)
     for j, im in enumerate(images):
-        buf[j] = im
+        view[j] = im
     return buf
 
 
@@ -109,12 +120,30 @@ class CLIPT5Engine:
         from ..ops import image as jimage
 
         def _encode_fn(params, pixels):
-            if pixels.dtype == jnp.uint8:
+            if pixels.dtype == jnp.uint8 and pixels.ndim == 3:
+                # channel-flattened (B, H, W*3): the whole preprocess runs
+                # on well-tiled arrays (see _device_resize_batch docstring)
+                S = cfg.vision.image_size
+                x = pixels.astype(jnp.float32) / 255.0
+                h, w = x.shape[-2], x.shape[-1] // 3
+                if h != S or w != S:
+                    if cfg.image_aspect_ratio == "pad":
+                        # PIL fills with tuple(int(m*255)) — match exactly.
+                        fill = [int(m * 255) / 255.0 for m in CLIP_MEAN]
+                        x = jimage.pad_square_flat(x, 3, fill)
+                        x = jimage.resize_flat(x, S, S, 3)
+                    else:
+                        rh, rw = jimage.resize_shortest_side((h, w), S)
+                        x = jimage.resize_flat(x, rh, rw, 3)
+                        x = jimage.center_crop_flat(x, S, S, 3)
+                    # PIL clamps each resize pass to uint8 range
+                    x = jnp.clip(x, 0.0, 1.0)
+                x = jimage.normalize_flat(x, CLIP_MEAN, CLIP_STD)
+            elif pixels.dtype == jnp.uint8:
                 S = cfg.vision.image_size
                 x = pixels.astype(jnp.float32) / 255.0
                 if x.shape[-3] != S or x.shape[-2] != S:
                     if cfg.image_aspect_ratio == "pad":
-                        # PIL fills with tuple(int(m*255)) — match exactly.
                         fill = [int(m * 255) / 255.0 for m in CLIP_MEAN]
                         x = jimage.pad_square(x, fill)
                         x = jimage.resize(x, S, S)
@@ -123,7 +152,6 @@ class CLIPT5Engine:
                             (x.shape[-3], x.shape[-2]), S)
                         x = jimage.resize(x, rh, rw)
                         x = jimage.center_crop(x, S, S)
-                    # PIL clamps each resize pass to uint8 range
                     x = jnp.clip(x, 0.0, 1.0)
                 x = ((x - jnp.asarray(CLIP_MEAN, jnp.float32))
                      / jnp.asarray(CLIP_STD, jnp.float32))
@@ -378,12 +406,22 @@ class CLIPEngine:
         from ..ops import image as jimage
 
         def _img_fn(params, pixels):
-            if pixels.dtype == jnp.uint8:
+            if pixels.dtype == jnp.uint8 and pixels.ndim == 3:
+                # channel-flattened (B, H, W*3) — OpenCLIP eval transform
+                # (Resize shortest + CenterCrop) on well-tiled arrays
+                S = vcfg.image_size
+                x = pixels.astype(jnp.float32) / 255.0
+                h, w = x.shape[-2], x.shape[-1] // 3
+                if h != S or w != S:
+                    rh, rw = jimage.resize_shortest_side((h, w), S)
+                    x = jimage.resize_flat(x, rh, rw, 3)
+                    x = jimage.center_crop_flat(x, S, S, 3)
+                    x = jnp.clip(x, 0.0, 1.0)
+                x = jimage.normalize_flat(x, CLIP_MEAN, CLIP_STD)
+            elif pixels.dtype == jnp.uint8:
                 S = vcfg.image_size
                 x = pixels.astype(jnp.float32) / 255.0
                 if x.shape[-3] != S or x.shape[-2] != S:
-                    # OpenCLIP eval transform: Resize(shortest)+CenterCrop,
-                    # run on-device (see CLIPT5Engine._encode_fn).
                     rh, rw = jimage.resize_shortest_side(
                         (x.shape[-3], x.shape[-2]), S)
                     x = jimage.resize(x, rh, rw)

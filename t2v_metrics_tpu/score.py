@@ -103,47 +103,71 @@ class Score:
                    and getattr(self.model, "video_mode", "direct") == "direct"
                    or media_key == "images")
         # Pipelined path: adapters exposing forward_device return an
-        # un-synchronized device array, so chunk k's device compute overlaps
-        # chunk k+1's host preprocessing (jax async dispatch); results are
-        # materialized one chunk behind.
+        # un-synchronized device array. Chunk k's host preprocessing AND
+        # host->device pixel transfer run in a worker thread while the main
+        # thread drains chunk k-1's result. The separate thread matters:
+        # measured on the axon tunnel, transfers issued from the thread
+        # that is blocked fetching results serialize with device compute,
+        # while transfers from a second thread overlap fully (wall
+        # max(compute, transfer) instead of compute + transfer).
         use_async = batched and hasattr(self.model, "forward_device")
-        pending = None  # (lo, hi, device array, valid count)
+        executor = None
+        if use_async:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+            if os.environ.get("T2V_PIPELINE_THREAD", "1") == "1":
+                executor = ThreadPoolExecutor(max_workers=1)
+        pending = None  # (lo, hi, future-or-(dev, cnt))
 
         def _drain():
             nonlocal pending
             if pending is not None:
-                plo, phi, dev, cnt = pending
+                plo, phi, res = pending
+                dev, cnt = res.result() if executor is not None else res
                 scores = np.asarray(dev, np.float32)[:cnt]
                 out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
                 pending = None
 
-        for lo in chunks:
-            hi = min(lo + batch_size, n)
-            samples = [dataset[i] for i in range(lo, hi)]
-            if batched:
-                pair_media, pair_text = [], []
-                for sample in samples:
-                    media = self._preprocess_media(list(sample[media_key]),
-                                                   kwargs.get("num_frames", 8))
-                    for m in media:
-                        for t in sample["texts"]:
-                            pair_media.append(m)
-                            pair_text.append(t)
-                if use_async:
-                    dev, cnt = self.model.forward_device(pair_media,
-                                                         pair_text, **kwargs)
-                    _drain()
-                    pending = (lo, hi, dev, cnt)
-                else:
-                    scores = np.asarray(
-                        self.model.forward(pair_media, pair_text, **kwargs),
-                        np.float32)
-                    out[lo:hi] = scores.reshape(hi - lo, num_media, num_texts)
-            else:  # pragma: no cover
-                for i, sample in enumerate(samples):
-                    out[lo + i] = self.forward(sample[media_key],
-                                               sample["texts"], **kwargs)
-        _drain()
+        try:
+            for lo in chunks:
+                hi = min(lo + batch_size, n)
+                samples = [dataset[i] for i in range(lo, hi)]
+                if batched:
+                    pair_media, pair_text = [], []
+                    for sample in samples:
+                        media = self._preprocess_media(
+                            list(sample[media_key]),
+                            kwargs.get("num_frames", 8))
+                        for m in media:
+                            for t in sample["texts"]:
+                                pair_media.append(m)
+                                pair_text.append(t)
+                    if use_async:
+                        if executor is not None:
+                            res = executor.submit(self.model.forward_device,
+                                                  pair_media, pair_text,
+                                                  **kwargs)
+                        else:
+                            res = self.model.forward_device(pair_media,
+                                                            pair_text,
+                                                            **kwargs)
+                        _drain()
+                        pending = (lo, hi, res)
+                    else:
+                        scores = np.asarray(
+                            self.model.forward(pair_media, pair_text,
+                                               **kwargs),
+                            np.float32)
+                        out[lo:hi] = scores.reshape(hi - lo, num_media,
+                                                    num_texts)
+                else:  # pragma: no cover
+                    for i, sample in enumerate(samples):
+                        out[lo + i] = self.forward(sample[media_key],
+                                                   sample["texts"], **kwargs)
+            _drain()
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
         return out
 
 

@@ -68,6 +68,40 @@ class TestResize:
         h, w = image_ops.smart_resize(480, 640)
         assert h % 28 == 0 and w % 28 == 0
 
+    def test_resize_flat_matches_resize(self):
+        rng = np.random.default_rng(5)
+        img = rng.random((2, 40, 56, 3), dtype=np.float32)
+        a = np.asarray(image_ops.resize(jnp.asarray(img), 24, 32))
+        flat = jnp.asarray(img.reshape(2, 40, 56 * 3))
+        b = np.asarray(image_ops.resize_flat(flat, 24, 32, 3))
+        np.testing.assert_allclose(a.reshape(2, 24, 32 * 3), b, atol=1e-5)
+
+    def test_pad_crop_normalize_flat(self):
+        rng = np.random.default_rng(6)
+        img = rng.random((2, 30, 20, 3), dtype=np.float32)
+        flat = jnp.asarray(img.reshape(2, 30, 60))
+        fill = [0.3, 0.5, 0.7]
+        a = np.asarray(image_ops.pad_square(jnp.asarray(img), fill))
+        b = np.asarray(image_ops.pad_square_flat(flat, 3, fill))
+        np.testing.assert_allclose(a.reshape(2, 30, 90), b, atol=1e-6)
+        a = np.asarray(image_ops.center_crop(jnp.asarray(img), 16, 12))
+        b = np.asarray(image_ops.center_crop_flat(flat, 16, 12, 3))
+        np.testing.assert_allclose(a.reshape(2, 16, 36), b, atol=1e-6)
+        mean, std = [0.1, 0.2, 0.3], [0.5, 0.6, 0.7]
+        a = np.asarray(image_ops.normalize(jnp.asarray(img), mean, std))
+        b = np.asarray(image_ops.normalize_flat(flat, mean, std))
+        np.testing.assert_allclose(a.reshape(2, 30, 60), b, atol=1e-6)
+
+    def test_patchify_flat_with_perm_matches_patchify(self):
+        rng = np.random.default_rng(7)
+        img = rng.random((2, 8, 12, 3), dtype=np.float32)
+        w = rng.random((3 * 4 * 4, 5), dtype=np.float32)
+        a = np.asarray(image_ops.patchify(jnp.asarray(img), 4) @ jnp.asarray(w))
+        flat = jnp.asarray(img.reshape(2, 8, 36))
+        perm = image_ops.patch_perm(4, 3)
+        b = np.asarray(image_ops.patchify_flat(flat, 4, 3) @ jnp.asarray(w[perm]))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
 
 class TestAttention:
     def _rand(self, *shape):
