@@ -41,7 +41,7 @@ _DEVICE_RESIZE_MAX_SIDE = int(
     __import__("os").environ.get("T2V_DEVICE_PREPROC_MAX_SIDE", "384"))
 
 
-def _device_resize_batch(images) -> np.ndarray | None:
+def _device_resize_batch(images, slot: int = 0) -> np.ndarray | None:
     """(N, H, W*3) channel-flattened uint8 stack if every image is a
     same-shape uint8 HWC array no larger than _DEVICE_RESIZE_MAX_SIDE; else
     None (host path).
@@ -69,13 +69,16 @@ def _device_resize_batch(images) -> np.ndarray | None:
             return None
     # Reuse a staging buffer: a fresh np.stack allocation page-faults its
     # way through ~100 MB (measured 0.55 s/chunk); copying into a warm
-    # buffer is ~10x faster. Safe to reuse because jnp.asarray copies out
-    # synchronously before the next chunk overwrites it.
+    # buffer is ~10x faster. `slot` picks one of a small ring of buffers
+    # so a pipelined caller can prepare chunk k+2 while chunk k's
+    # jnp.asarray is still copying out (batch_forward uses slot = k % 3,
+    # which the 2-deep pipeline guarantees is idle by the time it is
+    # reused).
     h, w, c = first.shape
     shape = (len(images), h, w * c)
-    buf = _STAGING.get(shape)
+    buf = _STAGING.get((shape, slot))
     if buf is None:
-        buf = _STAGING[shape] = np.empty(shape, np.uint8)
+        buf = _STAGING[(shape, slot)] = np.empty(shape, np.uint8)
     view = buf.reshape(len(images), h, w, c)
     for j, im in enumerate(images):
         view[j] = im
@@ -313,6 +316,22 @@ class CLIPT5Engine:
         synchronizing — jax async dispatch lets the caller overlap the next
         chunk's host preprocessing with this chunk's device compute
         (batch_forward pipelining)."""
+        return self.forward_device_prepared(
+            self.prepare_pairs(images, texts, question_template,
+                               answer_template))
+
+    def prepare_pairs(self, images, texts, question_template=None,
+                      answer_template=None, slot: int = 0):
+        """Pure-host stage of pairwise scoring: decode/resize pixels,
+        tokenize/splice texts, bucket-pad — NO device work. The returned
+        dict feeds `forward_device_prepared`. Splitting host prep from the
+        H2D transfer lets batch_forward run them in separate pipeline
+        stages: measured on the axon tunnel, resize (~1.0 s) + transfer
+        (~1.1 s) serialized in one worker matches the device compute
+        (~2.1 s/chunk) and stalls the pipeline, while two stages hide both.
+
+        slot: staging-ring index (see _device_resize_batch) — callers
+        preparing chunks ahead of the transfer stage pass k % 3."""
         assert len(images) == len(texts)
         qt = question_template or DEFAULT_QUESTION_TEMPLATE
         at = answer_template or DEFAULT_ANSWER_TEMPLATE
@@ -329,27 +348,42 @@ class CLIPT5Engine:
                      for t in texts]
         answers = [cft5.format_answer(at.format(t), self.cfg.conversation)
                    for t in texts]
-        # Host work (tokenize/splice) BEFORE the pixel transfer: device_put
-        # of a big pixel batch can stall behind the previous chunk's queued
-        # compute, so everything host-side must come first to stay
-        # overlapped (axon-tunnel pipelining).
         arrays = self._build_text_arrays(questions, answers)
-        feats = self.encode_images(uniq)
         n = len(texts)
         nb = _bucket(n, TXT_BUCKETS)
         arrays = tuple(np.concatenate([a, np.repeat(a[-1:], nb - n, axis=0)])
                        if nb > n else a for a in arrays)
-        dev = tuple(jnp.asarray(a) for a in arrays)
         pair_image = np.asarray(inv, np.int32)
         pair_text = np.arange(n, dtype=np.int32)
-        chunk = _bucket(n, TXT_BUCKETS)
-        if chunk > n:
-            pair_image = np.concatenate([pair_image, np.repeat(pair_image[-1:], chunk - n)])
-            pair_text = np.concatenate([pair_text, np.repeat(pair_text[-1:], chunk - n)])
+        if nb > n:
+            pair_image = np.concatenate([pair_image,
+                                         np.repeat(pair_image[-1:], nb - n)])
+            pair_text = np.concatenate([pair_text,
+                                        np.repeat(pair_text[-1:], nb - n)])
+
+        pixels = _device_resize_batch(uniq, slot=slot)
+        if pixels is None:
+            pixels = load_batch(uniq, self.cfg.vision.image_size,
+                                pad_square=self.cfg.image_aspect_ratio == "pad",
+                                raw_uint8=True)
+        m = len(uniq)
+        mb = _bucket(m, IMG_BUCKETS)
+        if mb > m:
+            pixels = np.concatenate(
+                [pixels, np.repeat(pixels[-1:], mb - m, axis=0)])
+        return {"pixels": pixels, "m": m, "arrays": arrays,
+                "pair_image": pair_image, "pair_text": pair_text, "n": n}
+
+    def forward_device_prepared(self, prep):
+        """Transfer + dispatch stage: the only stage touching the device.
+        Returns (device scores array, valid count) without synchronizing."""
+        feats = self._encode(self.params,
+                             pixels=jnp.asarray(prep["pixels"]))[: prep["m"]]
+        dev = tuple(jnp.asarray(a) for a in prep["arrays"])
         logp = self._score(self.params, feats, *dev,
-                           pair_image=jnp.asarray(pair_image),
-                           pair_text=jnp.asarray(pair_text))
-        return jnp.exp(logp), n
+                           pair_image=jnp.asarray(prep["pair_image"]),
+                           pair_text=jnp.asarray(prep["pair_text"]))
+        return jnp.exp(logp), prep["n"]
 
 
     def generate(self, images, texts, max_new_tokens: int = 128,

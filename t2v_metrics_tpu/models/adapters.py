@@ -233,6 +233,20 @@ class CLIPT5Adapter(VQAScoreModel):
         return self.engine.forward_pairwise_device(
             images, texts, question_template, answer_template)
 
+    def prepare_pairs(self, images, texts,
+                      question_template: str = DEFAULT_QUESTION_TEMPLATE,
+                      answer_template: str = DEFAULT_ANSWER_TEMPLATE,
+                      slot: int = 0, **kwargs):
+        """Host-only stage of pairwise scoring (decode/resize/tokenize);
+        feeds forward_device_prepared. batch_forward runs this in its own
+        pipeline stage so host resize overlaps the H2D transfer."""
+        return self.engine.prepare_pairs(images, texts, question_template,
+                                         answer_template, slot=slot)
+
+    def forward_device_prepared(self, prep):
+        """Transfer + dispatch stage for a prepare_pairs dict."""
+        return self.engine.forward_device_prepared(prep)
+
     def score_matrix(self, images, texts,
                      question_template: str = DEFAULT_QUESTION_TEMPLATE,
                      answer_template: str = DEFAULT_ANSWER_TEMPLATE,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import layers as L
-from ..ops.attention import attention
+from ..ops.attention import attention, attention_flat
 
 Params = Any
 
@@ -121,6 +121,14 @@ def compute_position_bias(rel_emb: jnp.ndarray, qlen: int, klen: int,
 def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
                   bias=None, kv_mask=None, causal=False,
                   rel_bias=None, rel_cfg=None) -> jnp.ndarray:
+    if rel_bias is None:
+        # Head-major path: the flat flash kernel consumes the (B, S, H*D)
+        # projection layout directly — no split/merge_heads transpose
+        # copies (~10% of score time on v5e).
+        a = attention_flat(x @ p["q"]["w"], kv @ p["k"]["w"],
+                           kv @ p["v"]["w"], heads, bias=bias,
+                           kv_mask=kv_mask, causal=causal, scale=1.0)
+        return a @ p["o"]["w"]
     q = L.split_heads(x @ p["q"]["w"], heads)
     k = L.split_heads(kv @ p["k"]["w"], heads)
     v = L.split_heads(kv @ p["v"]["w"], heads)

@@ -134,7 +134,8 @@ def _rel_bias_block(rel_vec, row, col, rel_cfg):
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
                   rel_ref, bidirq_ref, bidirk_ref, o_ref, m_scr, l_scr,
                   acc_scr, *, scale, causal, sq, sk, block_q, block_k,
-                  local_window=None, rel_cfg=None, single_k=False):
+                  local_window=None, rel_cfg=None, single_k=False,
+                  batch_group=1):
     kb = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -145,19 +146,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
             l_scr[:] = jnp.zeros_like(l_scr)
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # (block_q, D)
-    k = k_ref[0, 0]  # (block_k, D)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (block_q, block_k)
-
-    if bias_ref is not None:
-        s = s + bias_ref[0, 0].astype(jnp.float32)
-
     qb = pl.program_id(1)
     row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     neg = jnp.float32(NEG_INF)
+
+    # Masks that do not depend on the batch item — computed once per
+    # program, shared by every g in the batch group.
+    base = jnp.zeros((block_q, block_k), jnp.float32)
     if rel_ref is not None:
         # select this head's (num_buckets,) bias column without dynamic
         # VMEM indexing: one-hot over the head axis
@@ -165,42 +161,80 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
         hsel = (jax.lax.broadcasted_iota(jnp.int32, (nh, nb_), 0)
                 == pl.program_id(0))
         rel_vec = jnp.sum(jnp.where(hsel, rel_ref[:], 0.0), axis=0)
-        s = s + _rel_bias_block(rel_vec, row, col, rel_cfg)
+        base = base + _rel_bias_block(rel_vec, row, col, rel_cfg)
+    # Padding beyond true kv length.
+    base = jnp.where(col < sk, base, neg)
+    causal_keep = None
+    if causal or local_window is not None:
+        causal_keep = col - (sk - sq) <= row
+        if local_window is not None:
+            causal_keep = causal_keep & (col - (sk - sq) > row - local_window)
+
+    if single_k:
+        # Whole KV in one block: direct softmax, no scratch, no correction.
+        # `batch_group` items are processed in one program (static unroll):
+        # at the hot shapes (d=64, S 577..640) each item's work is ~2 us
+        # while Mosaic's per-program cost is ~4 us — grouping amortizes it
+        # (measured on v5e: ViT encode attention 13.1 -> see ops tests).
+        for g in range(batch_group):
+            q = q_ref[g, 0]  # (block_q, D)
+            k = k_ref[g, 0]  # (block_k, D)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + base
+            if bias_ref is not None:
+                s = s + bias_ref[g if bias_ref.shape[0] > 1 else 0,
+                                 0].astype(jnp.float32)
+            if mask_ref is not None:
+                s = jnp.where(mask_ref[g, 0][None, :] != 0, s, neg)
+            if segq_ref is not None:
+                same = segq_ref[g, 0][:, None] == segk_ref[g, 0][None, :]
+                s = jnp.where(same, s, neg)
+            if causal_keep is not None:
+                keep = causal_keep
+                if bidirq_ref is not None:
+                    # bidirectional image-group overlay (Gemma3/PaliGemma):
+                    # same non-negative group id attends both ways,
+                    # overriding the causal/window structure (HF or-mask
+                    # semantics)
+                    bq = bidirq_ref[g, 0]
+                    bk = bidirk_ref[g, 0]
+                    same = (bq[:, None] == bk[None, :]) & (bq[:, None] >= 0)
+                    keep = keep | same
+                s = jnp.where(keep, s, neg)
+            m_new = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - jnp.where(m_new <= neg, 0.0, m_new))
+            p = jnp.where(s <= neg, 0.0, p)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[g, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[g, 0] = (acc / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        return
+
+    assert batch_group == 1, "batch_group>1 requires a single kv block"
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + base
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
     if mask_ref is not None:
         s = jnp.where(mask_ref[0, 0][None, :] != 0, s, neg)
     if segq_ref is not None:
         same = segq_ref[0, 0][:, None] == segk_ref[0, 0][None, :]
         s = jnp.where(same, s, neg)
-    # Mask out padding beyond true lengths.
-    s = jnp.where(col < sk, s, neg)
-    if causal or local_window is not None:
-        keep = col - (sk - sq) <= row
-        if local_window is not None:
-            keep = keep & (col - (sk - sq) > row - local_window)
+    if causal_keep is not None:
+        keep = causal_keep
         if bidirq_ref is not None:
-            # bidirectional image-group overlay (Gemma3/PaliGemma): same
-            # non-negative group id attends both ways, overriding the
-            # causal/window structure (HF or-mask semantics)
             bq = bidirq_ref[0, 0]
             bk = bidirk_ref[0, 0]
             same = (bq[:, None] == bk[None, :]) & (bq[:, None] >= 0)
             keep = keep | same
         s = jnp.where(keep, s, neg)
-    elif bidirq_ref is not None:
-        # no causal structure: the overlay alone adds nothing
-        pass
-
-    if single_k:
-        # whole KV in this block: direct softmax, no scratch, no correction
-        m_new = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - jnp.where(m_new <= neg, 0.0, m_new))
-        p = jnp.where(s <= neg, 0.0, p)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, 0] = (acc / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
-        return
 
     m_prev = m_scr[:, :1]                              # (block_q, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)          # (block_q, 1)
@@ -261,16 +295,29 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
 
+    # Batch grouping: G batch items per program (static in-kernel unroll).
+    # At the hot shapes (d=64, one kv block) per-item compute is ~2 us vs
+    # ~4 us Mosaic per-program overhead, so fewer/bigger programs win.
+    # Only on the single-kv-block path (no flash scratch carry across kv
+    # iterations needed) and only with a per-batch-broadcast bias.
+    single_k = (sk_pad // block_k == 1
+                and os.environ.get("T2V_FLASH_SINGLEK", "1") == "1")
+    group = 1
+    if single_k and b > 1:
+        cap = int(os.environ.get("T2V_FLASH_BATCH_GROUP", "8"))
+        group = next((g for g in (8, 4, 2, 1)
+                      if g <= cap and b % g == 0), 1)
+
     # grid order (h, q, b, k): blocks whose index ignores b (the T5
     # bias / rel tables) keep the same index across consecutive b
     # iterations, so Mosaic reuses the VMEM copy instead of refetching
     # it B times from HBM
-    grid = (h, sq_pad // block_q, b, sk_pad // block_k)
+    grid = (h, sq_pad // block_q, b // group, sk_pad // block_k)
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda hi, qi, bi, ki: (bi, hi, qi, 0)),
-        pl.BlockSpec((1, 1, block_k, d_pad), lambda hi, qi, bi, ki: (bi, hi, ki, 0)),
-        pl.BlockSpec((1, 1, block_k, d_pad), lambda hi, qi, bi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((group, 1, block_q, d_pad), lambda hi, qi, bi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((group, 1, block_k, d_pad), lambda hi, qi, bi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((group, 1, block_k, d_pad), lambda hi, qi, bi, ki: (bi, hi, ki, 0)),
     ]
     args = [qp, kp, vp]
 
@@ -279,7 +326,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         biasp = jnp.pad(bias.astype(jnp.float32),
                         ((0, 0), (0, 0), (0, sq_pad - sq), (0, sk_pad - sk)))
         in_specs.append(pl.BlockSpec(
-            (1, 1, block_q, block_k),
+            (group if bb > 1 else 1, 1, block_q, block_k),
             lambda hi, qi, bi, ki, bb=bb, bh=bh: (bi if bb > 1 else 0,
                                                   hi if bh > 1 else 0, qi, ki)))
         args.append(biasp)
@@ -291,7 +338,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         # (B, 1, Sk): keeps the last-two-dims TPU tiling constraint happy.
         maskp = jnp.pad(kv_mask.astype(jnp.int32),
                         ((0, 0), (0, sk_pad - sk)))[:, None, :]
-        in_specs.append(pl.BlockSpec((1, 1, block_k),
+        in_specs.append(pl.BlockSpec((group, 1, block_k),
                                      lambda hi, qi, bi, ki: (bi, 0, ki)))
         args.append(maskp)
     else:
@@ -303,10 +350,10 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         # pad with -1 so padded positions never match a real segment
         segp = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)),
                        constant_values=-1)[:, None, :]
-        in_specs.append(pl.BlockSpec((1, 1, block_q),
+        in_specs.append(pl.BlockSpec((group, 1, block_q),
                                      lambda hi, qi, bi, ki: (bi, 0, qi)))
         args.append(segp)
-        in_specs.append(pl.BlockSpec((1, 1, block_k),
+        in_specs.append(pl.BlockSpec((group, 1, block_k),
                                      lambda hi, qi, bi, ki: (bi, 0, ki)))
         args.append(segp)
     else:
@@ -331,10 +378,10 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         bidp = jnp.pad(bidir_ids.astype(jnp.int32),
                        ((0, 0), (0, sk_pad - sk)),
                        constant_values=-1)[:, None, :]
-        in_specs.append(pl.BlockSpec((1, 1, block_q),
+        in_specs.append(pl.BlockSpec((group, 1, block_q),
                                      lambda hi, qi, bi, ki: (bi, 0, qi)))
         args.append(bidp)
-        in_specs.append(pl.BlockSpec((1, 1, block_k),
+        in_specs.append(pl.BlockSpec((group, 1, block_k),
                                      lambda hi, qi, bi, ki: (bi, 0, ki)))
         args.append(bidp)
     else:
@@ -362,14 +409,13 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
                       m_scr, l_scr, acc_scr, scale=scale, causal=causal,
                       sq=sq, sk=sk, block_q=block_q, block_k=block_k,
                       local_window=local_window, rel_cfg=rel_cfg,
-                      single_k=(sk_pad // block_k == 1 and os.environ.get(
-                          "T2V_FLASH_SINGLEK", "1") == "1"))
+                      single_k=single_k, batch_group=group)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=real_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
+        out_specs=pl.BlockSpec((group, 1, block_q, d_pad),
                                lambda hi, qi, bi, ki: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
         scratch_shapes=[
@@ -379,7 +425,11 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # batch_group unrolls G items per program; the fp32 score
+            # tiles push the stack past Mosaic's default 16M scoped-vmem
+            # limit. v5e/v5p have 128M physical VMEM — allow up to half.
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*real_args)
     return out[:, :, :sq, :d]
@@ -390,6 +440,189 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# ---------------------------------------------------------------------------
+# Head-major ("flat") flash kernel: (B, S, H, D) in/out
+# ---------------------------------------------------------------------------
+#
+# The per-head kernel above takes (B, H, S, D), which forces XLA to
+# materialize a transpose of every q/k/v (and of the output) around the
+# custom call — profiled at ~25% of ViT encode and ~10% of T5 score time
+# on v5e (the `copy` ops framing each flash_attention in the trace). This
+# variant reads the projection output layout directly: (B, S, H, D) is a
+# free bitcast of the (B, S, H*D) matmul result. Each program loads one
+# batch item's q block and FULL k/v for a group of `hg` heads and loops
+# over the heads in-kernel, so no transposed copy ever exists in HBM.
+# Single-kv-block shapes only (the hot paths: ViT T=640, T5 S=640).
+
+def _flat_head_group(h: int, d: int, bq: int, sk_pad: int,
+                     has_bias: bool) -> int | None:
+    """Largest legal head group. Blocks are (1, rows, hg*d) slices of the
+    (B, S, H*D) array, so hg*d must be a 128-lane multiple (or the full
+    H*D). With a bias, the fp32 bias block (hg, bq, sk_pad) must stay
+    within a VMEM budget."""
+    candidates = [g for g in range(h, 0, -1)
+                  if h % g == 0 and ((g * d) % 128 == 0 or g == h)]
+    budget = 16 * 1024 * 1024
+    for g in candidates:
+        if not has_bias or g * bq * sk_pad * 4 <= budget:
+            return g
+    return None
+
+
+def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                       scale, causal, sq, sk, block_q, block_k, hg, d):
+    qb = pl.program_id(1)
+    row = qb * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    neg = jnp.float32(NEG_INF)
+    base = jnp.where(col < sk, 0.0, neg)
+    if mask_ref is not None:
+        base = jnp.where(mask_ref[0, 0][None, :] != 0, base, neg)
+    if causal:
+        base = jnp.where(col - (sk - sq) <= row, base, neg)
+    qblk = q_ref[0]                                  # (block_q, hg*D)
+    kblk = k_ref[0]                                  # (block_k, hg*D)
+    vblk = v_ref[0]
+    outs = []
+    for i in range(hg):
+        q = qblk[:, i * d:(i + 1) * d]
+        k = kblk[:, i * d:(i + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + base
+        if bias_ref is not None:
+            s = s + bias_ref[0, i]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - jnp.where(m <= neg, 0.0, m))
+        p = jnp.where(s <= neg, 0.0, p)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(vblk.dtype), vblk[:, i * d:(i + 1) * d],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        outs.append((acc / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if hg == 1 else jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "causal", "scale", "block_q", "interpret"))
+def flash_attention_flat(q, k, v, heads, bias=None, kv_mask=None,
+                         causal=False, scale=None, block_q=768,
+                         interpret=False):
+    """Flash attention over flat (B, S, H*D) inputs/outputs — the native
+    layout of the qkv projections, so no transpose copies exist around the
+    call. Whole KV in one block per program; bias must broadcast over
+    batch (shape (1, H, Sq, Sk))."""
+    b, sq, hd = q.shape
+    h, d = heads, hd // heads
+    sk = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+
+    nq = -(-sq // block_q)
+    bq = _round_up(-(-sq // nq), 128) if sq > 128 else _round_up(max(sq, 8), 8)
+    sq_pad = _round_up(sq, bq)
+    sk_pad = _round_up(sk, 128)
+
+    hg = _flat_head_group(h, d, bq, sk_pad, bias is not None)
+    if hg is None:
+        raise ValueError("no legal head group for flat flash attention")
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    grid = (h // hg, sq_pad // bq, b)
+    in_specs = [
+        pl.BlockSpec((1, bq, hg * d), lambda gi, qi, bi: (bi, qi, gi)),
+        pl.BlockSpec((1, sk_pad, hg * d), lambda gi, qi, bi: (bi, 0, gi)),
+        pl.BlockSpec((1, sk_pad, hg * d), lambda gi, qi, bi: (bi, 0, gi)),
+    ]
+    args = [qp, kp, vp]
+    if bias is not None:
+        assert bias.shape[0] == 1, "flat kernel: bias must broadcast batch"
+        biasp = jnp.pad(bias.astype(jnp.float32),
+                        ((0, 0), (0, 0), (0, sq_pad - sq), (0, sk_pad - sk)))
+        # index ignores b (innermost grid axis): Mosaic keeps the block in
+        # VMEM across consecutive batch programs instead of refetching
+        in_specs.append(pl.BlockSpec((1, hg, bq, sk_pad),
+                                     lambda gi, qi, bi: (0, gi, qi, 0)))
+        args.append(biasp)
+    else:
+        in_specs.append(None)
+        args.append(None)
+    if kv_mask is not None:
+        maskp = jnp.pad(kv_mask.astype(jnp.int32),
+                        ((0, 0), (0, sk_pad - sk)))[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, sk_pad),
+                                     lambda gi, qi, bi: (bi, 0, 0)))
+        args.append(maskp)
+    else:
+        in_specs.append(None)
+        args.append(None)
+
+    real_specs = [s for s in in_specs if s is not None]
+    real_args = [a for a in args if a is not None]
+
+    def kernel(*refs):
+        it = iter(refs[: len(real_specs)])
+        q_ref = next(it)
+        k_ref = next(it)
+        v_ref = next(it)
+        bias_ref = next(it) if bias is not None else None
+        mask_ref = next(it) if kv_mask is not None else None
+        _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                           refs[len(real_specs)], scale=scale, causal=causal,
+                           sq=sq, sk=sk, block_q=bq, block_k=sk_pad, hg=hg,
+                           d=d)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=real_specs,
+        out_specs=pl.BlockSpec((1, bq, hg * d),
+                               lambda gi, qi, bi: (bi, qi, gi)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*real_args)
+    return out[:, :sq]
+
+
+def attention_flat(q, k, v, heads, bias=None, kv_mask=None, causal=False,
+                   scale=None, impl: str = "auto"):
+    """Attention over flat (B, S, H*D) inputs/outputs.
+
+    Uses the flat flash kernel when the shape qualifies (TPU, one kv
+    block, batch-broadcast bias); otherwise reshapes/transposes to
+    (B, H, S, D) and dispatches through `attention()` — numerically
+    identical, just with the layout copies the flat kernel avoids."""
+    b, sq, hd = q.shape
+    d = hd // heads
+    sk = k.shape[1]
+    nq = -(-sq // 768)
+    bq = _round_up(-(-sq // nq), 128) if sq > 128 else _round_up(max(sq, 8), 8)
+    ok = (impl != "reference" and _on_tpu() and pltpu is not None
+          and sq >= 128 and 128 <= sk <= 2048
+          and (bias is None or bias.shape[0] == 1)
+          and _flat_head_group(heads, d, bq, _round_up(sk, 128),
+                               bias is not None) is not None)
+    if ok:
+        return flash_attention_flat(q, k, v, heads, bias=bias,
+                                    kv_mask=kv_mask, causal=causal,
+                                    scale=scale)
+    qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+    a = attention(qh, kh, vh, bias=bias, kv_mask=kv_mask,
+                  causal=causal, scale=scale, impl=impl)
+    return a.transpose(0, 2, 1, 3).reshape(b, sq, hd)
 
 
 def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,

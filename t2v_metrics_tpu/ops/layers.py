@@ -14,7 +14,23 @@ import jax.numpy as jnp
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray | None,
                eps: float = 1e-5) -> jnp.ndarray:
-    """Standard LayerNorm with fp32 statistics."""
+    """Standard LayerNorm with fp32 statistics.
+
+    On TPU, tile-aligned shapes go through a fused Pallas kernel: XLA's
+    lowering converts the whole bf16 activation to an fp32 HBM intermediate
+    and re-reads it per reduction (profiled ~3.6 ms per (128,577,1024) LN
+    on v5e vs ~0.4 ms roofline); the kernel keeps the fp32 form in VMEM.
+    """
+    from .norms import layer_norm_fused, _fused_ok
+
+    if _fused_ok(x):
+        return layer_norm_fused(x, scale, bias, eps)
+    return layer_norm_xla(x, scale, bias, eps)
+
+
+def layer_norm_xla(x: jnp.ndarray, scale: jnp.ndarray,
+                   bias: jnp.ndarray | None, eps: float = 1e-5) -> jnp.ndarray:
+    """Reference XLA LayerNorm (ground truth for the fused kernel)."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

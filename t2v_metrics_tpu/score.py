@@ -110,13 +110,20 @@ class Score:
         # that is blocked fetching results serialize with device compute,
         # while transfers from a second thread overlap fully (wall
         # max(compute, transfer) instead of compute + transfer).
+        import os
+        threading_on = os.environ.get("T2V_PIPELINE_THREAD", "1") == "1"
+        use_staged = (batched and threading_on
+                      and hasattr(self.model, "prepare_pairs")
+                      and hasattr(self.model, "forward_device_prepared"))
         use_async = batched and hasattr(self.model, "forward_device")
+        if use_staged:
+            return self._batch_forward_staged(dataset, chunks, batch_size,
+                                              media_key, out, num_media,
+                                              num_texts, **kwargs)
         executor = None
-        if use_async:
-            import os
+        if use_async and threading_on:
             from concurrent.futures import ThreadPoolExecutor
-            if os.environ.get("T2V_PIPELINE_THREAD", "1") == "1":
-                executor = ThreadPoolExecutor(max_workers=1)
+            executor = ThreadPoolExecutor(max_workers=1)
         pending = None  # (lo, hi, future-or-(dev, cnt))
 
         def _drain():
@@ -133,15 +140,8 @@ class Score:
                 hi = min(lo + batch_size, n)
                 samples = [dataset[i] for i in range(lo, hi)]
                 if batched:
-                    pair_media, pair_text = [], []
-                    for sample in samples:
-                        media = self._preprocess_media(
-                            list(sample[media_key]),
-                            kwargs.get("num_frames", 8))
-                        for m in media:
-                            for t in sample["texts"]:
-                                pair_media.append(m)
-                                pair_text.append(t)
+                    pair_media, pair_text = self._flatten_pairs(
+                        samples, media_key, kwargs.get("num_frames", 8))
                     if use_async:
                         if executor is not None:
                             res = executor.submit(self.model.forward_device,
@@ -168,6 +168,79 @@ class Score:
         finally:
             if executor is not None:
                 executor.shutdown(wait=True)
+        return out
+
+    def _flatten_pairs(self, samples, media_key, num_frames):
+        pair_media, pair_text = [], []
+        for sample in samples:
+            media = self._preprocess_media(list(sample[media_key]),
+                                           num_frames)
+            for m in media:
+                for t in sample["texts"]:
+                    pair_media.append(m)
+                    pair_text.append(t)
+        return pair_media, pair_text
+
+    def _batch_forward_staged(self, dataset, chunks, batch_size, media_key,
+                              out, num_media, num_texts, **kwargs):
+        """Three-stage pipelined batch_forward.
+
+        Stage P (prep thread): decode/resize pixels + tokenize (pure host).
+        Stage X (transfer thread): H2D transfer + async device dispatch.
+        Main thread: drain finished chunks' scores.
+
+        Separate threads matter twice over on the axon tunnel: host resize
+        (~1.0 s/chunk) and the H2D transfer (~1.1 s/chunk at ~40 MB/s)
+        serialized in a single worker add up to the device compute time
+        (~2.1 s/chunk) and gate the pipeline at ~0.8x device-only; split
+        into two stages each hides fully behind compute. The prep stage
+        writes pixels into a 3-slot staging ring (chunk k -> slot k % 3):
+        the drain of chunk k at iteration k+2 proves chunk k's transfer
+        finished before iteration k+3 reuses its slot."""
+        from concurrent.futures import ThreadPoolExecutor
+        n = len(dataset)
+        prep_ex = ThreadPoolExecutor(max_workers=1)
+        xfer_ex = ThreadPoolExecutor(max_workers=1)
+        prep_pending = None   # (lo, hi, future[prep dict])
+        xfer_pending = None   # (lo, hi, future[(dev, cnt)])
+
+        def _drain():
+            nonlocal xfer_pending
+            if xfer_pending is not None:
+                plo, phi, fut = xfer_pending
+                dev, cnt = fut.result()
+                scores = np.asarray(dev, np.float32)[:cnt]
+                out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
+                xfer_pending = None
+
+        try:
+            for idx, lo in enumerate(chunks):
+                hi = min(lo + batch_size, n)
+                samples = [dataset[i] for i in range(lo, hi)]
+                pair_media, pair_text = self._flatten_pairs(
+                    samples, media_key, kwargs.get("num_frames", 8))
+                new_prep = (lo, hi, prep_ex.submit(
+                    self.model.prepare_pairs, pair_media, pair_text,
+                    slot=idx % 3, **kwargs))
+                if prep_pending is not None:
+                    plo, phi, pfut = prep_pending
+                    prep = pfut.result()
+                    new_xfer = (plo, phi, xfer_ex.submit(
+                        self.model.forward_device_prepared, prep))
+                    _drain()
+                    xfer_pending = new_xfer
+                prep_pending = new_prep
+            if prep_pending is not None:
+                plo, phi, pfut = prep_pending
+                prep = pfut.result()
+                new_xfer = (plo, phi, xfer_ex.submit(
+                    self.model.forward_device_prepared, prep))
+                _drain()
+                xfer_pending = new_xfer
+            _drain()
+        finally:
+            prep_ex.shutdown(wait=True)
+            xfer_ex.shutdown(wait=True)
         return out
 
 

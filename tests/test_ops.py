@@ -342,7 +342,7 @@ class TestDevicePreprocess:
         fast = np.asarray(eng.encode_images(imgs))
         orig = S._device_resize_batch
         try:
-            S._device_resize_batch = lambda images: None
+            S._device_resize_batch = lambda images, **kw: None
             host = np.asarray(eng.encode_images(imgs))
         finally:
             S._device_resize_batch = orig
@@ -363,8 +363,83 @@ class TestDevicePreprocess:
         fast = eng.score_matrix(imgs, texts)
         orig = S._device_resize_batch
         try:
-            S._device_resize_batch = lambda images: None
+            S._device_resize_batch = lambda images, **kw: None
             host = eng.score_matrix(imgs, texts)
         finally:
             S._device_resize_batch = orig
         np.testing.assert_allclose(fast, host, atol=5e-3)
+
+
+class TestFusedLayerNorm:
+    """Pallas fused LayerNorm (ops/norms.py) vs the XLA reference."""
+
+    def test_matches_xla(self):
+        from t2v_metrics_tpu.ops.layers import layer_norm_xla
+        from t2v_metrics_tpu.ops.norms import layer_norm_fused
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 16, 256)).astype(np.float32)
+                        * 3.0, jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(size=(256,)), jnp.bfloat16)
+        bias = jnp.asarray(rng.normal(size=(256,)), jnp.bfloat16)
+        ref = layer_norm_xla(x, scale, bias, 1e-5)
+        fused = layer_norm_fused(x, scale, bias, 1e-5, interpret=True)
+        np.testing.assert_allclose(np.asarray(fused, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_no_bias_and_odd_rows(self):
+        from t2v_metrics_tpu.ops.layers import layer_norm_xla
+        from t2v_metrics_tpu.ops.norms import layer_norm_fused
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(24, 128)), jnp.float32)
+        scale = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+        ref = layer_norm_xla(x, scale, None, 1e-6)
+        fused = layer_norm_fused(x, scale, None, 1e-6, interpret=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+class TestFlatFlashAttention:
+    """Head-major (B,S,H,D) flash kernel vs the (B,H,S,D) reference."""
+
+    def _check(self, B=2, S=160, H=8, D=32, Sk=None, bias=False,
+               kv_mask=False, causal=False):
+        from t2v_metrics_tpu.ops.attention import (attention_reference,
+                                                   flash_attention_flat)
+        Sk = Sk or S
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, Sk, H * D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, Sk, H * D)), jnp.float32)
+        b = (jnp.asarray(rng.normal(size=(1, H, S, Sk)), jnp.float32)
+             if bias else None)
+        m = (jnp.asarray(rng.random((B, Sk)) > 0.2) if kv_mask else None)
+        heads = lambda x, s: x.reshape(B, s, H, D).transpose(0, 2, 1, 3)
+        ref = attention_reference(heads(q, S), heads(k, Sk), heads(v, Sk),
+                                  bias=b, kv_mask=m, causal=causal)
+        out = flash_attention_flat(q, k, v, H, bias=b, kv_mask=m,
+                                   causal=causal, interpret=True)
+        ref_flat = ref.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flat),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_plain(self):
+        self._check()
+
+    def test_bias(self):
+        self._check(bias=True)
+
+    def test_kv_mask(self):
+        self._check(kv_mask=True)
+
+    def test_causal_bias_mask(self):
+        self._check(bias=True, kv_mask=True, causal=True)
+
+    def test_odd_seq_pad(self):
+        self._check(S=137, Sk=137, kv_mask=True)
+
+    def test_head_group_split(self):
+        # H=16 with a bias big enough to force hg=8 grouping
+        self._check(S=256, H=16, bias=True)
