@@ -122,6 +122,18 @@ def load_batch(paths, size: int, mean=CLIP_MEAN, std=CLIP_STD,
     for i, p in enumerate(paths):
         if images[i] is None:
             images[i] = image_loader(p)
+    if raw_uint8 and len(images) > 3:
+        # Native batched PIL-exact bicubic resize (media/native): bit-
+        # identical to the PIL path below and ~4x cheaper on the host CPU
+        # — on a 1-core pipeline host this keeps preprocessing off the
+        # pipelined batch_forward critical path.
+        from . import native_loader
+
+        fill = tuple(int(x * 255) for x in mean)
+        nat = native_loader.clip_resize_batch(
+            images, size, mode=0 if pad_square else 1, fill=fill)
+        if nat is not None:
+            return nat
     if len(images) > 3:
         # PIL's resize releases the GIL -> thread-parallel preprocessing
         from concurrent.futures import ThreadPoolExecutor

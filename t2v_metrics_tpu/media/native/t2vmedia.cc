@@ -15,6 +15,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
+#include <cmath>
 #include <thread>
 #include <vector>
 #include <atomic>
@@ -550,6 +552,233 @@ int t2v_test_write_av(const char* path, int w, int h, int n_frames, int fps,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PIL-exact bicubic resize (CLIP preprocessing hot path)
+// ---------------------------------------------------------------------------
+//
+// The reference preprocesses every image with PIL/CLIPImageProcessor
+// bicubic resampling on the Python side (reference mm_utils.py expand2square
+// + HF image processors). Score parity therefore requires PIL's exact
+// fixed-point resampling semantics: separable horizontal-then-vertical
+// passes, per-pass uint8 re-quantization, coefficient normalization and
+// rounding at 22-bit precision, and the a=-0.5 cubic kernel. This is a
+// fresh implementation of those published semantics for RGB24 batches —
+// on a 1-core pipeline host it replaces ~11 ms/image of PIL Python-path
+// resize with ~3 ms/image of C++, taking host preprocessing off the
+// pipelined batch_forward critical path.
+
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+double bicubic_filter(double x) {
+  constexpr double a = -0.5;
+  if (x < 0.0) x = -x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+// Coefficient table for one axis: per output index, the first source tap
+// (bounds[2i]) and tap count (bounds[2i+1]), plus ksize fixed-point
+// weights rounded half-away-from-zero at kPrecisionBits.
+int precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                      std::vector<int>* kk) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 2.0 * filterscale;
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  bounds->assign(out_size * 2, 0);
+  kk->assign(static_cast<size_t>(out_size) * ksize, 0);
+  std::vector<double> prek(ksize);
+  const double ss = 1.0 / filterscale;
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = bicubic_filter((x + xmin - center + 0.5) * ss);
+      prek[x] = w;
+      ww += w;
+    }
+    int* k = kk->data() + static_cast<size_t>(xx) * ksize;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = ww != 0.0 ? prek[x] / ww : prek[x];
+      k[x] = static_cast<int>(w < 0 ? w * (1 << kPrecisionBits) - 0.5
+                                    : w * (1 << kPrecisionBits) + 0.5);
+    }
+    (*bounds)[xx * 2] = xmin;
+    (*bounds)[xx * 2 + 1] = xmax;
+  }
+  return ksize;
+}
+
+inline uint8_t clip8(int v) {
+  v >>= kPrecisionBits;
+  if (v < 0) return 0;
+  if (v > 255) return 255;
+  return static_cast<uint8_t>(v);
+}
+
+void resample_horizontal(const uint8_t* in, int h, int w, uint8_t* out,
+                         int out_w, const std::vector<int>& bounds,
+                         const std::vector<int>& kk, int ksize) {
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = in + static_cast<size_t>(y) * w * 3;
+    uint8_t* orow = out + static_cast<size_t>(y) * out_w * 3;
+    for (int xx = 0; xx < out_w; ++xx) {
+      const int xmin = bounds[xx * 2];
+      const int xmax = bounds[xx * 2 + 1];
+      const int* k = kk.data() + static_cast<size_t>(xx) * ksize;
+      int s0 = 1 << (kPrecisionBits - 1);
+      int s1 = s0, s2 = s0;
+      const uint8_t* p = row + static_cast<size_t>(xmin) * 3;
+      for (int x = 0; x < xmax; ++x, p += 3) {
+        s0 += p[0] * k[x];
+        s1 += p[1] * k[x];
+        s2 += p[2] * k[x];
+      }
+      orow[xx * 3 + 0] = clip8(s0);
+      orow[xx * 3 + 1] = clip8(s1);
+      orow[xx * 3 + 2] = clip8(s2);
+    }
+  }
+}
+
+void resample_vertical(const uint8_t* in, int h, int w, uint8_t* out,
+                       int out_h, const std::vector<int>& bounds,
+                       const std::vector<int>& kk, int ksize,
+                       std::vector<int>* acc) {
+  const int rowlen = w * 3;
+  acc->resize(rowlen);
+  for (int yy = 0; yy < out_h; ++yy) {
+    const int ymin = bounds[yy * 2];
+    const int ymax = bounds[yy * 2 + 1];
+    const int* k = kk.data() + static_cast<size_t>(yy) * ksize;
+    std::fill(acc->begin(), acc->end(), 1 << (kPrecisionBits - 1));
+    int* a = acc->data();
+    for (int y = 0; y < ymax; ++y) {
+      const uint8_t* row = in + static_cast<size_t>(y + ymin) * rowlen;
+      const int ky = k[y];
+      for (int x = 0; x < rowlen; ++x) a[x] += row[x] * ky;
+    }
+    uint8_t* orow = out + static_cast<size_t>(yy) * rowlen;
+    for (int x = 0; x < rowlen; ++x) orow[x] = clip8(a[x]);
+  }
+}
+
+struct ResampleScratch {
+  std::vector<int> hb, hk, vb, vk, acc;
+  std::vector<uint8_t> mid, square;
+};
+
+// (h, w) -> (out_h, out_w), PIL Image.resize(..., BICUBIC) semantics.
+void resample_image(const uint8_t* in, int h, int w, uint8_t* out, int out_h,
+                    int out_w, ResampleScratch* s) {
+  const int hks = precompute_coeffs(w, out_w, &s->hb, &s->hk);
+  const int vks = precompute_coeffs(h, out_h, &s->vb, &s->vk);
+  s->mid.resize(static_cast<size_t>(h) * out_w * 3);
+  resample_horizontal(in, h, w, s->mid.data(), out_w, s->hb, s->hk, hks);
+  resample_vertical(s->mid.data(), h, out_w, out, out_h, s->vb, s->vk, vks,
+                    &s->acc);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched CLIP preprocessing resize. mode 0: expand2square with fill then
+// resize to (size, size) (LLaVA "pad"). mode 1: resize shortest side to
+// `size` then center crop (torchvision Resize+CenterCrop). imgs[i] is an
+// (dims[2i], dims[2i+1], 3) uint8 RGB array; out is n*size*size*3.
+// Returns 0 on success.
+int t2v_clip_resize_batch(const uint8_t** imgs, const int* dims, int n,
+                          int size, int mode, uint8_t fill_r, uint8_t fill_g,
+                          uint8_t fill_b, uint8_t* out, int num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 4;
+  }
+  std::atomic<int> next(0), failures(0);
+  const size_t slot = static_cast<size_t>(size) * size * 3;
+  auto worker = [&]() {
+    ResampleScratch s;
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const int h = dims[2 * i], w = dims[2 * i + 1];
+      if (h <= 0 || w <= 0) {
+        failures.fetch_add(1);
+        continue;
+      }
+      const uint8_t* src = imgs[i];
+      int sh = h, sw = w;
+      if (mode == 0 && h != w) {
+        // expand2square: centered paste on a fill-colored square
+        // (reference mm_utils.py:128-139)
+        const int side = h > w ? h : w;
+        s.square.resize(static_cast<size_t>(side) * side * 3);
+        uint8_t* sq = s.square.data();
+        for (size_t px = 0; px < static_cast<size_t>(side) * side; ++px) {
+          sq[px * 3 + 0] = fill_r;
+          sq[px * 3 + 1] = fill_g;
+          sq[px * 3 + 2] = fill_b;
+        }
+        if (w > h) {
+          const int top = (side - h) / 2;
+          memcpy(sq + static_cast<size_t>(top) * side * 3, src,
+                 static_cast<size_t>(h) * w * 3);
+        } else {
+          const int left = (side - w) / 2;
+          for (int y = 0; y < h; ++y)
+            memcpy(sq + (static_cast<size_t>(y) * side + left) * 3,
+                   src + static_cast<size_t>(y) * w * 3,
+                   static_cast<size_t>(w) * 3);
+        }
+        src = sq;
+        sh = sw = side;
+      }
+      if (mode == 1) {
+        // shortest-side target dims, round-half-even like Python round()
+        int rh, rw;
+        if (sh <= sw) {
+          rh = size;
+          rw = static_cast<int>(std::nearbyint(
+              static_cast<double>(sw) * size / sh));
+          if (rw < 1) rw = 1;
+        } else {
+          rw = size;
+          rh = static_cast<int>(std::nearbyint(
+              static_cast<double>(sh) * size / sw));
+          if (rh < 1) rh = 1;
+        }
+        std::vector<uint8_t> full(static_cast<size_t>(rh) * rw * 3);
+        resample_image(src, sh, sw, full.data(), rh, rw, &s);
+        const int top = (rh - size) / 2, left = (rw - size) / 2;
+        uint8_t* dst = out + slot * i;
+        for (int y = 0; y < size; ++y)
+          memcpy(dst + static_cast<size_t>(y) * size * 3,
+                 full.data() + (static_cast<size_t>(y + top) * rw + left) * 3,
+                 static_cast<size_t>(size) * 3);
+      } else {
+        resample_image(src, sh, sw, out + slot * i, size, size, &s);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  const int nt = std::min(num_threads, n > 0 ? n : 1);
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
 }
 
 }  // extern "C"

@@ -57,6 +57,13 @@ def _load():
             lib.t2v_decode_png_batch.restype = ctypes.c_int
             lib.t2v_decode_png_batch.argtypes = \
                 lib.t2v_decode_jpeg_batch.argtypes
+            lib.t2v_clip_resize_batch.restype = ctypes.c_int
+            lib.t2v_clip_resize_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_uint8, ctypes.c_void_p, ctypes.c_int,
+            ]
             lib.t2v_audio_probe.restype = ctypes.c_int
             lib.t2v_audio_probe.argtypes = [ctypes.c_char_p]
             lib.t2v_audio_decode.restype = ctypes.c_int64
@@ -127,6 +134,42 @@ def decode_png_batch(buffers: list[bytes], max_w: int = 8192,
     (palette/gray/alpha normalized to RGB like PIL convert('RGB'))."""
     return _decode_batch("t2v_decode_png_batch", buffers, max_w, max_h,
                          num_threads)
+
+
+def clip_resize_batch(images, size: int, mode: int = 0,
+                      fill=(0, 0, 0), num_threads: int = 0):
+    """Batched PIL-exact bicubic CLIP preprocessing -> (N, size, size, 3)
+    uint8, or None when the native library is unavailable.
+
+    mode 0: expand2square(fill) + resize (LLaVA 'pad' aspect mode).
+    mode 1: shortest-side resize + center crop (torchvision/OpenCLIP).
+    Bit-exact with PIL Image.resize(..., BICUBIC) — the C++ side mirrors
+    Pillow's fixed-point separable resampling, so scores match the
+    reference's PIL-preprocessed inputs exactly."""
+    lib = _load()
+    if not lib or not hasattr(lib, "t2v_clip_resize_batch"):
+        return None
+    n = len(images)
+    if n == 0:
+        return None
+    keep = []
+    ptrs = (ctypes.c_void_p * n)()
+    dims = (ctypes.c_int * (2 * n))()
+    for i, im in enumerate(images):
+        if not (isinstance(im, np.ndarray) and im.dtype == np.uint8
+                and im.ndim == 3 and im.shape[2] == 3):
+            return None
+        im = np.ascontiguousarray(im)
+        keep.append(im)
+        ptrs[i] = im.ctypes.data_as(ctypes.c_void_p).value
+        dims[2 * i] = im.shape[0]
+        dims[2 * i + 1] = im.shape[1]
+    out = np.empty((n, size, size, 3), np.uint8)
+    rc = lib.t2v_clip_resize_batch(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)), dims, n, size,
+        mode, fill[0], fill[1], fill[2],
+        out.ctypes.data_as(ctypes.c_void_p), num_threads)
+    return out if rc == 0 else None
 
 
 def video_info(path: str):

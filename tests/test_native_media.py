@@ -153,3 +153,30 @@ def test_png_batch_decode_matches_pil(tmp_path):
     for p, arr in zip(paths, ours):
         ref = np.asarray(Image.open(p).convert("RGB"))
         np.testing.assert_array_equal(arr, ref, err_msg=p)
+
+
+class TestNativeClipResize:
+    """Native batched bicubic resize must be bit-exact with the PIL path."""
+
+    def test_bit_exact_both_modes(self):
+        import numpy as np
+        import pytest
+        from t2v_metrics_tpu.media import native_loader as nl
+        from t2v_metrics_tpu.media.images import clip_preprocess
+
+        if not nl.native_available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(0)
+        shapes = [(96, 96), (80, 128), (128, 80), (97, 53)]
+        fill = tuple(int(x * 255)
+                     for x in (0.48145466, 0.4578275, 0.40821073))
+        for mode, pad in ((0, True), (1, False)):
+            imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                    for h, w in shapes]
+            nat = nl.clip_resize_batch(imgs, 64, mode=mode, fill=fill)
+            if nat is None:
+                pytest.skip("stale native build without clip_resize")
+            ref = np.stack([
+                clip_preprocess(im, 64, pad_square=pad, raw_uint8=True)
+                for im in imgs])
+            np.testing.assert_array_equal(nat, ref)
