@@ -83,7 +83,7 @@ def flops_per_pair(cfg, enc_seq: int, ans_len: int) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="clip-flant5-xl")
-    ap.add_argument("--samples", type=int, default=1024,
+    ap.add_argument("--samples", type=int, default=2048,
                     help="dataset samples (1 image x 1 text each)")
     ap.add_argument("--chunk", type=int, default=128,
                     help="batch_forward batch size = engine chunk")
