@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention
+from ..ops.attention import attention, attention_flat
 
 Params = Any
 
@@ -131,6 +131,15 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return ((x32 * c) + (_rotate_half(x32) * s)).astype(x.dtype)
 
 
+def apply_rope_bshd(x: jnp.ndarray, cos: jnp.ndarray,
+                    sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, S, H, D) — head-major layout; cos/sin: (B, S, D)."""
+    c = cos[:, :, None].astype(jnp.float32)
+    s = sin[:, :, None].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    return ((x32 * c) + (_rotate_half(x32) * s)).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
@@ -141,9 +150,12 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
     q = L.linear(x, p["q"]["w"], p["q"].get("b"))
     k = L.linear(x, p["k"]["w"], p["k"].get("b"))
     v = L.linear(x, p["v"]["w"], p["v"].get("b"))
-    q = q.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    # Head-major (B, S, H, D): free bitcast of the projection output.
+    # Norms + rope are per-(position, head) so they apply in this layout;
+    # the prefill path then feeds the flat flash kernel with NO transpose
+    # copies (and GQA k/v stay at kv_heads width — no jnp.repeat).
+    q = q.reshape(b, s, cfg.heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.kv_heads, cfg.head_dim)
     if cfg.qk_norm:
         q = L.rms_norm(q, p["q_norm"]["scale"], cfg.rms_eps,
                        offset=cfg.rms_offset,
@@ -151,58 +163,60 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
         k = L.rms_norm(k, p["k_norm"]["scale"], cfg.rms_eps,
                        offset=cfg.rms_offset,
                        cast_weight_dtype=cfg.rms_cast_weight)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q = apply_rope_bshd(q, cos, sin)
+    k = apply_rope_bshd(k, cos, sin)
 
-    if cache_layer is not None:
-        # append to static-size cache at cache_pos
-        ck = jax.lax.dynamic_update_slice(cache_layer["k"], k, (0, 0, cache_pos, 0))
-        cv = jax.lax.dynamic_update_slice(cache_layer["v"], v, (0, 0, cache_pos, 0))
-        k_full, v_full = ck, cv
-        new_cache = {"k": ck, "v": cv}
-    else:
-        k_full, v_full = k, v
-        new_cache = None
+    scale = cfg.q_scale if cfg.q_scale is not None else None
+    if cache_layer is None:
+        out = attention_flat(q.reshape(b, s, -1), k.reshape(b, s, -1), v,
+                             cfg.heads, kv_heads=cfg.kv_heads, kv_mask=mask,
+                             causal=True, scale=scale,
+                             local_window=local_window, bidir_ids=bidir_ids)
+        return L.linear(out, p["o"]["w"], p["o"].get("b")), None
+
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    # append to static-size cache at cache_pos
+    ck = jax.lax.dynamic_update_slice(cache_layer["k"], k, (0, 0, cache_pos, 0))
+    cv = jax.lax.dynamic_update_slice(cache_layer["v"], v, (0, 0, cache_pos, 0))
+    k_full, v_full = ck, cv
+    new_cache = {"k": ck, "v": cv}
 
     rep = cfg.heads // cfg.kv_heads
     k_rep = jnp.repeat(k_full, rep, axis=1)
     v_rep = jnp.repeat(v_full, rep, axis=1)
 
-    scale = cfg.q_scale if cfg.q_scale is not None else None
-    if cache_layer is not None:
-        # cached path: the chunk occupies cache slots [cache_pos,
-        # cache_pos+s); causal structure is expressed as an additive bias
-        # against absolute cache positions (works for both multi-token
-        # prefill and single-token steps), combined with the validity mask.
-        # local_window masks cache slots older than the sliding window, and
-        # bidir_ids here is the CACHE-ALIGNED (B, max_len) image-group array
-        # (-1 for text): same-group slots attend bidirectionally, overriding
-        # both causality and the window (HF Gemma3 or-mask semantics).
-        max_len = k_full.shape[2]
-        rows = cache_pos + jnp.arange(s)
-        cols = jnp.arange(max_len)
-        keep = cols[None, :] <= rows[:, None]            # (s, max_len)
-        if local_window is not None:
-            keep = keep & (cols[None, :] > rows[:, None] - local_window)
-        if bidir_ids is not None:
-            row_b = jax.lax.dynamic_slice_in_dim(bidir_ids, cache_pos, s,
-                                                 axis=1)  # (B, s)
-            same = ((row_b[:, :, None] == bidir_ids[:, None, :])
-                    & (row_b[:, :, None] >= 0))           # (B, s, max_len)
-            keep = keep[None] | same
-        if mask is not None:
-            keep = (keep if keep.ndim == 3 else keep[None]) & mask[:, None, :]
-            bias = jnp.where(keep, 0.0, -1e30)[:, None]
-        elif keep.ndim == 3:
-            bias = jnp.where(keep, 0.0, -1e30)[:, None]
-        else:
-            bias = jnp.where(keep, 0.0, -1e30)[None, None]
-        out = attention(q, k_rep, v_rep, bias=bias, causal=False,
-                        impl="reference", scale=scale)
+    # cached path: the chunk occupies cache slots [cache_pos,
+    # cache_pos+s); causal structure is expressed as an additive bias
+    # against absolute cache positions (works for both multi-token
+    # prefill and single-token steps), combined with the validity mask.
+    # local_window masks cache slots older than the sliding window, and
+    # bidir_ids here is the CACHE-ALIGNED (B, max_len) image-group array
+    # (-1 for text): same-group slots attend bidirectionally, overriding
+    # both causality and the window (HF Gemma3 or-mask semantics).
+    max_len = k_full.shape[2]
+    rows = cache_pos + jnp.arange(s)
+    cols = jnp.arange(max_len)
+    keep = cols[None, :] <= rows[:, None]            # (s, max_len)
+    if local_window is not None:
+        keep = keep & (cols[None, :] > rows[:, None] - local_window)
+    if bidir_ids is not None:
+        row_b = jax.lax.dynamic_slice_in_dim(bidir_ids, cache_pos, s,
+                                             axis=1)  # (B, s)
+        same = ((row_b[:, :, None] == bidir_ids[:, None, :])
+                & (row_b[:, :, None] >= 0))           # (B, s, max_len)
+        keep = keep[None] | same
+    if mask is not None:
+        keep = (keep if keep.ndim == 3 else keep[None]) & mask[:, None, :]
+        bias = jnp.where(keep, 0.0, -1e30)[:, None]
+    elif keep.ndim == 3:
+        bias = jnp.where(keep, 0.0, -1e30)[:, None]
     else:
-        out = attention(q, k_rep, v_rep, kv_mask=mask, causal=True,
-                        scale=scale, local_window=local_window,
-                        bidir_ids=bidir_ids)
+        bias = jnp.where(keep, 0.0, -1e30)[None, None]
+    out = attention(q, k_rep, v_rep, bias=bias, causal=False,
+                    impl="reference", scale=scale)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * cfg.head_dim)
     return L.linear(out, p["o"]["w"], p["o"].get("b")), new_cache
 

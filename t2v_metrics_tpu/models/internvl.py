@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention
+from ..ops.attention import attention, attention_flat
 from ..ops.image import patchify
 from . import decoder as dec
 
@@ -277,10 +277,10 @@ def vision_tower(p: Params, cfg: InternVisionConfig, pixels: jnp.ndarray) -> jnp
             # InternViT-6B: RMS over the flattened heads*head_dim dim
             qf = L.rms_norm(qf, blk["attn"]["q_norm"]["scale"], cfg.ln_eps)
             kf = L.rms_norm(kf, blk["attn"]["k_norm"]["scale"], cfg.ln_eps)
-        q = L.split_heads(qf, cfg.heads)
-        k = L.split_heads(kf, cfg.heads)
-        v = L.split_heads(L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"]), cfg.heads)
-        a = L.merge_heads(attention(q, k, v))
+        vf = L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"])
+        # flat flash kernel consumes the projection layout directly —
+        # no split/merge_heads transpose copies (see ops/attention.py)
+        a = attention_flat(qf, kf, vf, cfg.heads)
         a = L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         x = x + blk["lambda_1"] * a
         h = norm(x, blk["ln2"])

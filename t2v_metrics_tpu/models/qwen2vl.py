@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention
+from ..ops.attention import attention, attention_flat
 from . import decoder as dec
 
 Params = Any
@@ -283,13 +283,14 @@ def vision_tower(params: Params, cfg: QwenVisionConfig,
         k = L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"])
         v = L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"])
         b, s, _ = q.shape
-        q = q.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, cfg.heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        q = dec.apply_rope(q, cos, sin)
-        k = dec.apply_rope(k, cos, sin)
-        a = attention(q, k, v, segment_ids=seg[None])
-        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden)
+        # head-major layout: free bitcast reshapes around the flat flash
+        # kernel, no (B,H,S,D) transpose copies (see ops/attention.py)
+        q = dec.apply_rope_bshd(q.reshape(b, s, cfg.heads, cfg.head_dim),
+                                cos, sin)
+        k = dec.apply_rope_bshd(k.reshape(b, s, cfg.heads, cfg.head_dim),
+                                cos, sin)
+        a = attention_flat(q.reshape(b, s, -1), k.reshape(b, s, -1), v,
+                           cfg.heads, segment_ids=seg[None])
         x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         h = L.rms_norm(x, blk["ln2"]["scale"], cfg.rms_eps)
         h = (L.ACT_FNS["silu"](L.linear(h, blk["mlp"]["gate"]["w"], blk["mlp"]["gate"]["b"]))

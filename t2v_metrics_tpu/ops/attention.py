@@ -471,8 +471,9 @@ def _flat_head_group(h: int, d: int, bq: int, sk_pad: int,
     return None
 
 
-def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                       scale, causal, sq, sk, block_q, block_k, hg, d):
+def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
+                       segk_ref, o_ref, *, scale, causal, sq, sk, block_q,
+                       block_k, hg, d, kv_rep=1):
     qb = pl.program_id(1)
     row = qb * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
@@ -481,15 +482,19 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
     base = jnp.where(col < sk, 0.0, neg)
     if mask_ref is not None:
         base = jnp.where(mask_ref[0, 0][None, :] != 0, base, neg)
+    if segq_ref is not None:
+        same = segq_ref[0, 0][:, None] == segk_ref[0, 0][None, :]
+        base = jnp.where(same, base, neg)
     if causal:
         base = jnp.where(col - (sk - sq) <= row, base, neg)
     qblk = q_ref[0]                                  # (block_q, hg*D)
-    kblk = k_ref[0]                                  # (block_k, hg*D)
+    kblk = k_ref[0]                                  # (block_k, (hg//rep)*D)
     vblk = v_ref[0]
     outs = []
     for i in range(hg):
+        kv = i // kv_rep                             # GQA: static kv index
         q = qblk[:, i * d:(i + 1) * d]
-        k = kblk[:, i * d:(i + 1) * d]
+        k = kblk[:, kv * d:(kv + 1) * d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -501,7 +506,7 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
         p = jnp.where(s <= neg, 0.0, p)
         l = jnp.sum(p, axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
-            p.astype(vblk.dtype), vblk[:, i * d:(i + 1) * d],
+            p.astype(vblk.dtype), vblk[:, kv * d:(kv + 1) * d],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         outs.append((acc / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype))
     o_ref[0] = outs[0] if hg == 1 else jnp.concatenate(outs, axis=-1)
@@ -509,16 +514,24 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "causal", "scale", "block_q", "interpret"))
-def flash_attention_flat(q, k, v, heads, bias=None, kv_mask=None,
-                         causal=False, scale=None, block_q=768,
-                         interpret=False):
+    static_argnames=("heads", "kv_heads", "causal", "scale", "block_q",
+                     "interpret"))
+def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
+                         kv_mask=None, causal=False, scale=None, block_q=768,
+                         segment_ids=None, interpret=False):
     """Flash attention over flat (B, S, H*D) inputs/outputs — the native
     layout of the qkv projections, so no transpose copies exist around the
     call. Whole KV in one block per program; bias must broadcast over
-    batch (shape (1, H, Sq, Sk))."""
+    batch (shape (1, H, Sq, Sk)).
+
+    kv_heads < heads (GQA): k/v are (B, Sk, kv_heads*D) and each query
+    head reads kv head h // rep by a static lane slice — the
+    `jnp.repeat` materialization of k/v disappears entirely. Requires a
+    single head group (the kv slice offset must be static)."""
     b, sq, hd = q.shape
     h, d = heads, hd // heads
+    kvh = kv_heads if kv_heads is not None else h
+    kv_rep = h // kvh
     sk = k.shape[1]
     if scale is None:
         scale = d ** -0.5
@@ -528,7 +541,10 @@ def flash_attention_flat(q, k, v, heads, bias=None, kv_mask=None,
     sq_pad = _round_up(sq, bq)
     sk_pad = _round_up(sk, 128)
 
-    hg = _flat_head_group(h, d, bq, sk_pad, bias is not None)
+    if kv_rep > 1:
+        hg = h  # GQA: one group so every kv lane offset is static
+    else:
+        hg = _flat_head_group(h, d, bq, sk_pad, bias is not None)
     if hg is None:
         raise ValueError("no legal head group for flat flash attention")
 
@@ -539,8 +555,10 @@ def flash_attention_flat(q, k, v, heads, bias=None, kv_mask=None,
     grid = (h // hg, sq_pad // bq, b)
     in_specs = [
         pl.BlockSpec((1, bq, hg * d), lambda gi, qi, bi: (bi, qi, gi)),
-        pl.BlockSpec((1, sk_pad, hg * d), lambda gi, qi, bi: (bi, 0, gi)),
-        pl.BlockSpec((1, sk_pad, hg * d), lambda gi, qi, bi: (bi, 0, gi)),
+        pl.BlockSpec((1, sk_pad, (hg // kv_rep) * d),
+                     lambda gi, qi, bi: (bi, 0, gi)),
+        pl.BlockSpec((1, sk_pad, (hg // kv_rep) * d),
+                     lambda gi, qi, bi: (bi, 0, gi)),
     ]
     args = [qp, kp, vp]
     if bias is not None:
@@ -565,6 +583,22 @@ def flash_attention_flat(q, k, v, heads, bias=None, kv_mask=None,
         in_specs.append(None)
         args.append(None)
 
+    if segment_ids is not None:
+        assert sq == sk, "segment_ids requires square attention"
+        # pad with -1 so padded positions never match a real segment
+        segp = jnp.pad(segment_ids.astype(jnp.int32),
+                       ((0, 0), (0, sk_pad - sk)),
+                       constant_values=-1)[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, bq),
+                                     lambda gi, qi, bi: (bi, 0, qi)))
+        args.append(segp)
+        in_specs.append(pl.BlockSpec((1, 1, sk_pad),
+                                     lambda gi, qi, bi: (bi, 0, 0)))
+        args.append(segp)
+    else:
+        in_specs.extend([None, None])
+        args.extend([None, None])
+
     real_specs = [s for s in in_specs if s is not None]
     real_args = [a for a in args if a is not None]
 
@@ -575,10 +609,12 @@ def flash_attention_flat(q, k, v, heads, bias=None, kv_mask=None,
         v_ref = next(it)
         bias_ref = next(it) if bias is not None else None
         mask_ref = next(it) if kv_mask is not None else None
-        _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref,
-                           refs[len(real_specs)], scale=scale, causal=causal,
-                           sq=sq, sk=sk, block_q=bq, block_k=sk_pad, hg=hg,
-                           d=d)
+        segq_ref = next(it) if segment_ids is not None else None
+        segk_ref = next(it) if segment_ids is not None else None
+        _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
+                           segk_ref, refs[len(real_specs)], scale=scale,
+                           causal=causal, sq=sq, sk=sk, block_q=bq,
+                           block_k=sk_pad, hg=hg, d=d, kv_rep=kv_rep)
 
     out = pl.pallas_call(
         kernel,
@@ -595,33 +631,53 @@ def flash_attention_flat(q, k, v, heads, bias=None, kv_mask=None,
     return out[:, :sq]
 
 
-def attention_flat(q, k, v, heads, bias=None, kv_mask=None, causal=False,
-                   scale=None, impl: str = "auto"):
-    """Attention over flat (B, S, H*D) inputs/outputs.
+def attention_flat(q, k, v, heads, kv_heads=None, bias=None, kv_mask=None,
+                   causal=False, scale=None, impl: str = "auto",
+                   local_window=None, bidir_ids=None, segment_ids=None):
+    """Attention over flat (B, S, H*D) inputs/outputs (k/v may be GQA
+    (B, Sk, kv_heads*D)).
 
     Uses the flat flash kernel when the shape qualifies (TPU, one kv
-    block, batch-broadcast bias); otherwise reshapes/transposes to
-    (B, H, S, D) and dispatches through `attention()` — numerically
-    identical, just with the layout copies the flat kernel avoids."""
+    block, batch-broadcast bias, no window/overlay masks); otherwise
+    reshapes/transposes to (B, H, S, D) and dispatches through
+    `attention()` — numerically identical, just with the layout copies
+    the flat kernel avoids."""
     b, sq, hd = q.shape
     d = hd // heads
+    kvh = kv_heads if kv_heads is not None else heads
     sk = k.shape[1]
     nq = -(-sq // 768)
     bq = _round_up(-(-sq // nq), 128) if sq > 128 else _round_up(max(sq, 8), 8)
+    sk_pad = _round_up(sk, 128)
+    if kvh != heads:
+        # GQA runs all heads in one program: bound the VMEM footprint
+        # (q/o + k/v blocks double-buffered + two fp32 score tiles).
+        est = ((2 * bq * heads * d * 2 + 2 * sk_pad * kvh * d * 2) * 2
+               + bq * sk_pad * 4 * 2)
+        hg_ok = heads % kvh == 0 and est <= 40 * 1024 * 1024
+    else:
+        hg_ok = _flat_head_group(heads, d, bq, sk_pad,
+                                 bias is not None) is not None
     ok = (impl != "reference" and _on_tpu() and pltpu is not None
           and sq >= 128 and 128 <= sk <= 2048
+          and local_window is None and bidir_ids is None
+          and (segment_ids is None or sq == sk)
           and (bias is None or bias.shape[0] == 1)
-          and _flat_head_group(heads, d, bq, _round_up(sk, 128),
-                               bias is not None) is not None)
+          and hg_ok)
     if ok:
-        return flash_attention_flat(q, k, v, heads, bias=bias,
-                                    kv_mask=kv_mask, causal=causal,
-                                    scale=scale)
+        return flash_attention_flat(q, k, v, heads, kv_heads=kv_heads,
+                                    bias=bias, kv_mask=kv_mask,
+                                    causal=causal, scale=scale,
+                                    segment_ids=segment_ids)
     qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
-    a = attention(qh, kh, vh, bias=bias, kv_mask=kv_mask,
-                  causal=causal, scale=scale, impl=impl)
+    kh = k.reshape(b, sk, kvh, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, sk, kvh, d).transpose(0, 2, 1, 3)
+    if kvh != heads:
+        kh = jnp.repeat(kh, heads // kvh, axis=1)
+        vh = jnp.repeat(vh, heads // kvh, axis=1)
+    a = attention(qh, kh, vh, bias=bias, kv_mask=kv_mask, causal=causal,
+                  scale=scale, impl=impl, local_window=local_window,
+                  bidir_ids=bidir_ids, segment_ids=segment_ids)
     return a.transpose(0, 2, 1, 3).reshape(b, sq, hd)
 
 

@@ -443,3 +443,42 @@ class TestFlatFlashAttention:
     def test_head_group_split(self):
         # H=16 with a bias big enough to force hg=8 grouping
         self._check(S=256, H=16, bias=True)
+
+    def test_gqa_kv_heads(self):
+        # grouped-query attention: kv lane-slicing must match repeat
+        from t2v_metrics_tpu.ops.attention import (attention_reference,
+                                                   flash_attention_flat)
+        B, S, H, KV, D = 2, 160, 8, 2, 32
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, S, KV * D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, KV * D)), jnp.float32)
+        m = jnp.asarray(rng.random((B, S)) > 0.2).at[:, 0].set(True)
+        heads = lambda x, n: x.reshape(B, S, n, D).transpose(0, 2, 1, 3)
+        kr = jnp.repeat(heads(k, KV), H // KV, axis=1)
+        vr = jnp.repeat(heads(v, KV), H // KV, axis=1)
+        ref = attention_reference(heads(q, H), kr, vr, kv_mask=m,
+                                  causal=True)
+        out = flash_attention_flat(q, k, v, H, kv_heads=KV, kv_mask=m,
+                                   causal=True, interpret=True)
+        ref_flat = ref.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flat),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_segment_ids(self):
+        from t2v_metrics_tpu.ops.attention import (attention_reference,
+                                                   flash_attention_flat)
+        B, S, H, D = 1, 160, 4, 32
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        seg = jnp.asarray((np.arange(S) // 40)[None])  # 4 windows
+        heads = lambda x: x.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        ref = attention_reference(heads(q), heads(k), heads(v),
+                                  segment_ids=seg)
+        out = flash_attention_flat(q, k, v, H, segment_ids=seg,
+                                   interpret=True)
+        ref_flat = ref.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flat),
+                                   atol=2e-5, rtol=2e-5)
