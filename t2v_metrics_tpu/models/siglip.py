@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention
+from ..ops.attention import attention_flat
 from ..ops.image import patchify
 
 Params = Any
@@ -49,11 +49,14 @@ def vision_tower(p: Params, cfg: SiglipVisionConfig,
     x = x + p["pos_emb"]
     for blk in p["blocks"]:
         h = L.layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.ln_eps)
-        q = L.split_heads(L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"]), cfg.heads)
-        k = L.split_heads(L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"]), cfg.heads)
-        v = L.split_heads(L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"]), cfg.heads)
-        a = attention(q, k, v)
-        x = x + L.linear(L.merge_heads(a), blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
+        # flat flash kernel consumes the projection layout directly — no
+        # split/merge_heads transpose copies (see ops/attention.py)
+        a = attention_flat(
+            L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"]),
+            L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"]),
+            L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"]),
+            cfg.heads)
+        x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         h = L.layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.ln_eps)
         h = L.ACT_FNS[cfg.act](L.linear(h, blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"]))
         x = x + L.linear(h, blk["mlp"]["fc2"]["w"], blk["mlp"]["fc2"]["b"])
