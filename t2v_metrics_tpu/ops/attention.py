@@ -472,8 +472,9 @@ def _flat_head_group(h: int, d: int, bq: int, sk_pad: int,
 
 
 def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
-                       segk_ref, o_ref, *, scale, causal, sq, sk, block_q,
-                       block_k, hg, d, kv_rep=1):
+                       segk_ref, bidirq_ref, bidirk_ref, o_ref, *, scale,
+                       causal, sq, sk, block_q, block_k, hg, d, kv_rep=1,
+                       local_window=None):
     qb = pl.program_id(1)
     row = qb * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
@@ -485,8 +486,19 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
     if segq_ref is not None:
         same = segq_ref[0, 0][:, None] == segk_ref[0, 0][None, :]
         base = jnp.where(same, base, neg)
-    if causal:
-        base = jnp.where(col - (sk - sq) <= row, base, neg)
+    if causal or local_window is not None:
+        keep = col - (sk - sq) <= row
+        if local_window is not None:
+            keep = keep & (col - (sk - sq) > row - local_window)
+        if bidirq_ref is not None:
+            # bidirectional image-group overlay (Gemma3/PaliGemma): same
+            # non-negative group id attends both ways, overriding the
+            # causal/window structure (HF or-mask semantics)
+            bq_ids = bidirq_ref[0, 0]
+            bk_ids = bidirk_ref[0, 0]
+            same = (bq_ids[:, None] == bk_ids[None, :]) & (bq_ids[:, None] >= 0)
+            keep = keep | same
+        base = jnp.where(keep, base, neg)
     qblk = q_ref[0]                                  # (block_q, hg*D)
     kblk = k_ref[0]                                  # (block_k, (hg//rep)*D)
     vblk = v_ref[0]
@@ -515,10 +527,11 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "kv_heads", "causal", "scale", "block_q",
-                     "interpret"))
+                     "local_window", "interpret"))
 def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
                          kv_mask=None, causal=False, scale=None, block_q=768,
-                         segment_ids=None, interpret=False):
+                         segment_ids=None, local_window=None, bidir_ids=None,
+                         interpret=False):
     """Flash attention over flat (B, S, H*D) inputs/outputs — the native
     layout of the qkv projections, so no transpose copies exist around the
     call. Whole KV in one block per program; bias must broadcast over
@@ -583,18 +596,36 @@ def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
         in_specs.append(None)
         args.append(None)
 
+    def _qk_id_specs(ids):
+        """(B, S) int array -> q-block and k-block specs + padded arg."""
+        padded = jnp.pad(ids.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)),
+                         constant_values=-1)[:, None, :]
+        return padded
+
     if segment_ids is not None:
         assert sq == sk, "segment_ids requires square attention"
         # pad with -1 so padded positions never match a real segment
-        segp = jnp.pad(segment_ids.astype(jnp.int32),
-                       ((0, 0), (0, sk_pad - sk)),
-                       constant_values=-1)[:, None, :]
+        segp = _qk_id_specs(segment_ids)
         in_specs.append(pl.BlockSpec((1, 1, bq),
                                      lambda gi, qi, bi: (bi, 0, qi)))
         args.append(segp)
         in_specs.append(pl.BlockSpec((1, 1, sk_pad),
                                      lambda gi, qi, bi: (bi, 0, 0)))
         args.append(segp)
+    else:
+        in_specs.extend([None, None])
+        args.extend([None, None])
+
+    if bidir_ids is not None:
+        assert sq == sk and (causal or local_window is not None), \
+            "bidir_ids overlays a causal/window mask"
+        bidp = _qk_id_specs(bidir_ids)
+        in_specs.append(pl.BlockSpec((1, 1, bq),
+                                     lambda gi, qi, bi: (bi, 0, qi)))
+        args.append(bidp)
+        in_specs.append(pl.BlockSpec((1, 1, sk_pad),
+                                     lambda gi, qi, bi: (bi, 0, 0)))
+        args.append(bidp)
     else:
         in_specs.extend([None, None])
         args.extend([None, None])
@@ -611,10 +642,14 @@ def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
         mask_ref = next(it) if kv_mask is not None else None
         segq_ref = next(it) if segment_ids is not None else None
         segk_ref = next(it) if segment_ids is not None else None
+        bidirq_ref = next(it) if bidir_ids is not None else None
+        bidirk_ref = next(it) if bidir_ids is not None else None
         _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
-                           segk_ref, refs[len(real_specs)], scale=scale,
+                           segk_ref, bidirq_ref, bidirk_ref,
+                           refs[len(real_specs)], scale=scale,
                            causal=causal, sq=sq, sk=sk, block_q=bq,
-                           block_k=sk_pad, hg=hg, d=d, kv_rep=kv_rep)
+                           block_k=sk_pad, hg=hg, d=d, kv_rep=kv_rep,
+                           local_window=local_window)
 
     out = pl.pallas_call(
         kernel,
@@ -660,7 +695,9 @@ def attention_flat(q, k, v, heads, kv_heads=None, bias=None, kv_mask=None,
                                  bias is not None) is not None
     ok = (impl != "reference" and _on_tpu() and pltpu is not None
           and sq >= 128 and 128 <= sk <= 2048
-          and local_window is None and bidir_ids is None
+          and (local_window is None or causal)
+          and (bidir_ids is None
+               or (sq == sk and (causal or local_window is not None)))
           and (segment_ids is None or sq == sk)
           and (bias is None or bias.shape[0] == 1)
           and hg_ok)
@@ -668,7 +705,9 @@ def attention_flat(q, k, v, heads, kv_heads=None, bias=None, kv_mask=None,
         return flash_attention_flat(q, k, v, heads, kv_heads=kv_heads,
                                     bias=bias, kv_mask=kv_mask,
                                     causal=causal, scale=scale,
-                                    segment_ids=segment_ids)
+                                    segment_ids=segment_ids,
+                                    local_window=local_window,
+                                    bidir_ids=bidir_ids)
     qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, sk, kvh, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, sk, kvh, d).transpose(0, 2, 1, 3)

@@ -482,3 +482,25 @@ class TestFlatFlashAttention:
         ref_flat = ref.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flat),
                                    atol=2e-5, rtol=2e-5)
+
+    def test_local_window_bidir(self):
+        # Gemma3 sliding layer + image-block overlay through the flat kernel
+        from t2v_metrics_tpu.ops.attention import (attention_reference,
+                                                   flash_attention_flat)
+        B, S, H, D = 2, 160, 4, 32
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, H * D)), jnp.float32)
+        bid = np.full((B, S), -1)
+        bid[:, 40:72] = 0   # one image block
+        bid[1, 90:122] = 1
+        bid = jnp.asarray(bid)
+        heads = lambda x: x.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        ref = attention_reference(heads(q), heads(k), heads(v), causal=True,
+                                  local_window=48, bidir_ids=bid)
+        out = flash_attention_flat(q, k, v, H, causal=True, local_window=48,
+                                   bidir_ids=bid, interpret=True)
+        ref_flat = ref.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flat),
+                                   atol=2e-5, rtol=2e-5)
