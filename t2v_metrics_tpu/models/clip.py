@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import layers as L
-from ..ops.attention import attention, attention_flat
+from ..ops.attention import attention_flat
 from ..ops.image import patchify, patchify_flat, patch_perm
 
 Params = Any  # nested dict pytree

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention, attention_flat
+from ..ops.attention import attention_flat
 from ..ops.image import patchify
 from . import decoder as dec
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention, attention_flat
+from ..ops.attention import attention_flat
 from . import decoder as dec
 
 Params = Any
