@@ -41,7 +41,7 @@ _DEVICE_RESIZE_MAX_SIDE = int(
     __import__("os").environ.get("T2V_DEVICE_PREPROC_MAX_SIDE", "384"))
 
 
-def _device_resize_batch(images, slot: int = 0) -> np.ndarray | None:
+def _device_resize_batch(images, slot: int | None = None) -> np.ndarray | None:
     """(N, H, W*3) channel-flattened uint8 stack if every image is a
     same-shape uint8 HWC array no larger than _DEVICE_RESIZE_MAX_SIDE; else
     None (host path).
@@ -52,7 +52,17 @@ def _device_resize_batch(images, slot: int = 0) -> np.ndarray | None:
     pipelined batch_forward. The (H, W*C) flattening is free on the host
     (same bytes) and critical on the TPU: a minor dim of 3 pads to the
     128-lane tile, making resize matmuls ~40x slower (measured ~4 s vs
-    ~40 ms per 128x512x512 chunk on v5e)."""
+    ~40 ms per 128x512x512 chunk on v5e).
+
+    slot: staging-ring index, or None for a caller-owned fresh buffer.
+    With an integer slot the returned array is a *shared ring buffer* that
+    the staged batch_forward pipeline reuses (its FIFO drain order proves
+    the H2D transfer finished before the slot is overwritten — see
+    Score._batch_forward_staged). Direct callers (forward_pairwise,
+    encode_images) get slot=None: a private allocation, safe to pass to
+    jnp.asarray regardless of outstanding transfers. Reusing a warm ring
+    buffer matters because a fresh np.stack page-faults through ~100 MB
+    (measured 0.55 s/chunk vs ~0.05 s into a warm buffer)."""
     import os
     if os.environ.get("T2V_DEVICE_PREPROC", "1") != "1":
         return None
@@ -67,18 +77,14 @@ def _device_resize_batch(images, slot: int = 0) -> np.ndarray | None:
         if not (isinstance(im, np.ndarray) and im.dtype == np.uint8
                 and im.shape == first.shape):
             return None
-    # Reuse a staging buffer: a fresh np.stack allocation page-faults its
-    # way through ~100 MB (measured 0.55 s/chunk); copying into a warm
-    # buffer is ~10x faster. `slot` picks one of a small ring of buffers
-    # so a pipelined caller can prepare chunk k+2 while chunk k's
-    # jnp.asarray is still copying out (batch_forward uses slot = k % 3,
-    # which the 2-deep pipeline guarantees is idle by the time it is
-    # reused).
     h, w, c = first.shape
     shape = (len(images), h, w * c)
-    buf = _STAGING.get((shape, slot))
-    if buf is None:
-        buf = _STAGING[(shape, slot)] = np.empty(shape, np.uint8)
+    if slot is None:
+        buf = np.empty(shape, np.uint8)
+    else:
+        buf = _STAGING.get((shape, slot))
+        if buf is None:
+            buf = _STAGING[(shape, slot)] = np.empty(shape, np.uint8)
     view = buf.reshape(len(images), h, w, c)
     for j, im in enumerate(images):
         view[j] = im
@@ -321,7 +327,7 @@ class CLIPT5Engine:
                                answer_template))
 
     def prepare_pairs(self, images, texts, question_template=None,
-                      answer_template=None, slot: int = 0):
+                      answer_template=None, slot: int | None = None):
         """Pure-host stage of pairwise scoring: decode/resize pixels,
         tokenize/splice texts, bucket-pad — NO device work. The returned
         dict feeds `forward_device_prepared`. Splitting host prep from the
@@ -330,8 +336,10 @@ class CLIPT5Engine:
         (~1.1 s) serialized in one worker matches the device compute
         (~2.1 s/chunk) and stalls the pipeline, while two stages hide both.
 
-        slot: staging-ring index (see _device_resize_batch) — callers
-        preparing chunks ahead of the transfer stage pass k % 3."""
+        slot: staging-ring index for pipelined callers (the staged
+        batch_forward passes chunk_index % ring and guarantees by drain
+        order that the slot's previous transfer completed), or None
+        (default) for a private buffer safe under any call pattern."""
         assert len(images) == len(texts)
         qt = question_template or DEFAULT_QUESTION_TEMPLATE
         at = answer_template or DEFAULT_ANSWER_TEMPLATE

@@ -236,7 +236,7 @@ class CLIPT5Adapter(VQAScoreModel):
     def prepare_pairs(self, images, texts,
                       question_template: str = DEFAULT_QUESTION_TEMPLATE,
                       answer_template: str = DEFAULT_ANSWER_TEMPLATE,
-                      slot: int = 0, **kwargs):
+                      slot: int | None = None, **kwargs):
         """Host-only stage of pairwise scoring (decode/resize/tokenize);
         feeds forward_device_prepared. batch_forward runs this in its own
         pipeline stage so host resize overlaps the H2D transfer."""

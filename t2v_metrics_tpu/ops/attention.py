@@ -32,6 +32,20 @@ except ImportError:  # pragma: no cover
 
 NEG_INF = -1e30
 
+# Kernel-tuning env vars are read ONCE at import: everything below feeds
+# trace-time dispatch decisions inside jitted callers, so changing them
+# after a shape has compiled would silently have no effect — freezing them
+# at import makes that semantics explicit (set the env var before importing
+# the package to change kernel selection).
+#   T2V_ATTN_IMPL: "" (per-call dispatch) | "reference" (force the XLA
+#     dense path everywhere — e.g. for AOT GSPMD compiles, where Mosaic
+#     kernels cannot be auto-partitioned) | "flash"
+FLASH_SINGLEK = os.environ.get("T2V_FLASH_SINGLEK", "1") == "1"
+FLASH_BATCH_GROUP = int(os.environ.get("T2V_FLASH_BATCH_GROUP", "8"))
+FLASH_QCAP = int(os.environ.get("T2V_FLASH_QCAP", "768"))
+FLASH_KCAP = int(os.environ.get("T2V_FLASH_KCAP", "1024"))
+ATTN_IMPL_OVERRIDE = os.environ.get("T2V_ATTN_IMPL", "")
+
 
 # ---------------------------------------------------------------------------
 # Reference (XLA) implementation — ground truth for tests and CPU path
@@ -300,13 +314,11 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
     # ~4 us Mosaic per-program overhead, so fewer/bigger programs win.
     # Only on the single-kv-block path (no flash scratch carry across kv
     # iterations needed) and only with a per-batch-broadcast bias.
-    single_k = (sk_pad // block_k == 1
-                and os.environ.get("T2V_FLASH_SINGLEK", "1") == "1")
+    single_k = sk_pad // block_k == 1 and FLASH_SINGLEK
     group = 1
     if single_k and b > 1:
-        cap = int(os.environ.get("T2V_FLASH_BATCH_GROUP", "8"))
         group = next((g for g in (8, 4, 2, 1)
-                      if g <= cap and b % g == 0), 1)
+                      if g <= FLASH_BATCH_GROUP and b % g == 0), 1)
 
     # grid order (h, q, b, k): blocks whose index ignores b (the T5
     # bias / rel tables) keep the same index across consecutive b
@@ -677,6 +689,8 @@ def attention_flat(q, k, v, heads, kv_heads=None, bias=None, kv_mask=None,
     reshapes/transposes to (B, H, S, D) and dispatches through
     `attention()` — numerically identical, just with the layout copies
     the flat kernel avoids."""
+    if ATTN_IMPL_OVERRIDE:
+        impl = ATTN_IMPL_OVERRIDE
     b, sq, hd = q.shape
     d = hd // heads
     kvh = kv_heads if kv_heads is not None else heads
@@ -730,6 +744,8 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
     flash path; on the reference path the caller's dense `bias` is used
     (pass both — the unused one is dead-code-eliminated under jit).
     """
+    if ATTN_IMPL_OVERRIDE:
+        impl = ATTN_IMPL_OVERRIDE
     if impl == "auto":
         # Flash pays off for longer sequences; tiny shapes keep XLA fusion.
         impl = "flash" if (_on_tpu() and q.shape[-2] * k.shape[-2] > 128 * 128
@@ -759,15 +775,14 @@ def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,
         # when the grid has many tiny programs; prefer few large tiles
         # (VMEM budget: q/k/v tiles + fp32 (block_q, block_k) scores).
         sq, sk = q.shape[-2], k.shape[-2]
-        import os
 
         # 768 measured best on v5e at the flagship shapes (S=640: one big
         # q block beats two small ones — 57.2 vs 51.5 pairs/s device-only);
-        # override with T2V_FLASH_QCAP/KCAP for other regimes
-        nq = -(-sq // int(os.environ.get("T2V_FLASH_QCAP", "768")))
+        # override with T2V_FLASH_QCAP/KCAP (read at import) for other regimes
+        nq = -(-sq // FLASH_QCAP)
         block_q = (_round_up(-(-sq // nq), 128) if sq > 128
                    else _round_up(max(sq, 8), 8))
-        nk = -(-sk // int(os.environ.get("T2V_FLASH_KCAP", "1024")))
+        nk = -(-sk // FLASH_KCAP)
         block_k = _round_up(-(-sk // nk), 128) if sk > 128 else _round_up(max(sk, 8), 128)
         if rel_bias is not None and q.shape[-2] == k.shape[-2]:
             return flash_attention(q, k, v, kv_mask=kv_mask,

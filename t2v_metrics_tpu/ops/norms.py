@@ -24,6 +24,12 @@ except ImportError:  # pragma: no cover
 
 _ROW_BLOCKS = (1024, 512, 256, 128, 64, 32, 16, 8)
 
+# Read once at import: this feeds trace-time kernel dispatch inside jitted
+# callers, so a post-import change would silently not apply to already-
+# compiled shapes (set before importing the package instead).
+import os as _os
+FUSED_LN = _os.environ.get("T2V_FUSED_LN", "1") == "1"
+
 
 def _on_tpu() -> bool:
     try:
@@ -35,9 +41,7 @@ def _on_tpu() -> bool:
 def _fused_ok(x: jnp.ndarray) -> bool:
     """Tile-aligned 2D+ shapes on TPU: lane dim a 128 multiple, rows a
     multiple of 8 (so some row block divides them evenly)."""
-    import os
-
-    if os.environ.get("T2V_FUSED_LN", "1") != "1" or pltpu is None:
+    if not FUSED_LN or pltpu is None:
         return False
     if not _on_tpu() or x.ndim < 2:
         return False

