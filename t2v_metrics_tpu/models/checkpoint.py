@@ -82,6 +82,45 @@ def load_params(path: str, dtype=None):
     return _rebuild(manifest["structure"], flat)
 
 
+def validate_params_dims(params, expected, model_name: str,
+                         provisional: bool = False) -> None:
+    """Raise with a readable per-leaf report when a loaded checkpoint's
+    shapes disagree with the registry config.
+
+    ``expected`` is a pytree of arrays or ShapeDtypeStructs (e.g. from
+    ``jax.eval_shape`` over the family init fn). For families whose dims
+    are PROVISIONAL (qwen3.5-*, gemma-4-*, molmo2-* — no public HF config
+    to pin them), a real checkpoint converted against the published
+    weights is the first ground truth the config ever meets, so a
+    mismatch here gets an explicit pointer instead of a shape error deep
+    inside the first jit trace.
+    """
+    flat_p = _flatten(params)
+    flat_e = _flatten(expected)
+    problems = []
+    for k in sorted(set(flat_e) | set(flat_p)):
+        e, p = flat_e.get(k), flat_p.get(k)
+        if e is None and p is None:
+            continue
+        if k not in flat_p:
+            problems.append(f"  missing: {k} (expected {tuple(e.shape)})")
+        elif k not in flat_e:
+            problems.append(f"  unexpected: {k} {tuple(p.shape)}")
+        elif tuple(e.shape) != tuple(p.shape):
+            problems.append(f"  shape mismatch: {k} checkpoint "
+                            f"{tuple(p.shape)} != config {tuple(e.shape)}")
+    if problems:
+        hint = (
+            "\nThe registry dims for this model are PROVISIONAL (no public "
+            "HF config in the build environment — see the family module "
+            "docstring). Pass config=<corrected config> with the dims from "
+            "your checkpoint's config.json." if provisional else "")
+        raise ValueError(
+            f"checkpoint does not match the {model_name} config "
+            f"({len(problems)} problem(s)):\n" + "\n".join(problems[:20])
+            + ("\n  ..." if len(problems) > 20 else "") + hint)
+
+
 def iter_safetensors(model_dir: str):
     """Yield (name, numpy array) from all safetensors shards in a dir,
     one tensor at a time (bounded memory)."""

@@ -59,9 +59,14 @@ class Molmo2Adapter(VQAScoreModel):
         if params is None:
             ckpt = self.kwargs.get("checkpoint")
             if ckpt:
-                from .checkpoint import load_params
+                from .checkpoint import load_params, validate_params_dims
 
                 params = load_params(ckpt, dtype=dtype)
+                validate_params_dims(
+                    params,
+                    jax.eval_shape(lambda: m2.init_molmo2(
+                        jax.random.PRNGKey(0), cfg)),
+                    self.model_name, provisional=True)
             elif self.kwargs.get("init") == "random" or spec["hf"] is None:
                 params = m2.init_molmo2(
                     jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)

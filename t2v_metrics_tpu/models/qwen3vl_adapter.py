@@ -93,6 +93,25 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             from transformers import Qwen3VLForConditionalGeneration
             hf = Qwen3VLForConditionalGeneration.from_pretrained(
                 repo, cache_dir=self.cache_dir, torch_dtype=torch.float32)
+            if self.model_name.startswith("qwen3.5"):
+                # dims guard: the registry dims for qwen3.5 are PROVISIONAL
+                # (no public HF config at the reference checkout,
+                # models/qwen3vl.py registry comment) — cross-check against
+                # the checkpoint's real config before converting, so a
+                # mismatch is a one-line fix instead of a shape error deep
+                # in convert_qwen3vl.
+                tc = hf.config.text_config
+                want = (cfg.text.d_model, cfg.text.layers, cfg.text.heads,
+                        cfg.text.kv_heads, cfg.text.d_ff)
+                got = (tc.hidden_size, tc.num_hidden_layers,
+                       tc.num_attention_heads, tc.num_key_value_heads,
+                       tc.intermediate_size)
+                if want != got:
+                    raise ValueError(
+                        f"{self.model_name}: provisional registry dims "
+                        f"(d_model, layers, heads, kv_heads, d_ff)={want} "
+                        f"do not match checkpoint config {got}; pass "
+                        f"config=<Qwen3VLConfig with the checkpoint dims>")
             return q3.convert_qwen3vl(hf.state_dict(), cfg, dtype)
         except Exception as e:
             raise RuntimeError(

@@ -147,8 +147,8 @@ def _rel_bias_block(rel_vec, row, col, rel_cfg):
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
                   rel_ref, bidirq_ref, bidirk_ref, o_ref, m_scr, l_scr,
-                  acc_scr, *, scale, causal, sq, sk, block_q, block_k,
-                  local_window=None, rel_cfg=None, single_k=False,
+                  acc_scr, base_scr, *, scale, causal, sq, sk, block_q,
+                  block_k, local_window=None, rel_cfg=None, single_k=False,
                   batch_group=1):
     kb = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -167,17 +167,34 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref, segk_ref,
 
     # Masks that do not depend on the batch item — computed once per
     # program, shared by every g in the batch group.
-    base = jnp.zeros((block_q, block_k), jnp.float32)
-    if rel_ref is not None:
-        # select this head's (num_buckets,) bias column without dynamic
-        # VMEM indexing: one-hot over the head axis
-        nh, nb_ = rel_ref.shape
-        hsel = (jax.lax.broadcasted_iota(jnp.int32, (nh, nb_), 0)
-                == pl.program_id(0))
-        rel_vec = jnp.sum(jnp.where(hsel, rel_ref[:], 0.0), axis=0)
-        base = base + _rel_bias_block(rel_vec, row, col, rel_cfg)
-    # Padding beyond true kv length.
-    base = jnp.where(col < sk, base, neg)
+    def _base_block():
+        base = jnp.zeros((block_q, block_k), jnp.float32)
+        if rel_ref is not None:
+            # select this head's (num_buckets,) bias column without dynamic
+            # VMEM indexing: one-hot over the head axis
+            nh, nb_ = rel_ref.shape
+            hsel = (jax.lax.broadcasted_iota(jnp.int32, (nh, nb_), 0)
+                    == pl.program_id(0))
+            rel_vec = jnp.sum(jnp.where(hsel, rel_ref[:], 0.0), axis=0)
+            base = base + _rel_bias_block(rel_vec, row, col, rel_cfg)
+        # Padding beyond true kv length.
+        return jnp.where(col < sk, base, neg)
+
+    if base_scr is not None:
+        # The T5 rel-bias block is ~num_buckets VPU selects over the full
+        # (block_q, block_k) tile — identical for every batch program of a
+        # given (head, q-block). The batch axis (grid dim 2) is
+        # "arbitrary" (sequential) and iterates directly inside (h, q) on
+        # the single-k path, so computing it once at b == 0 and carrying
+        # it in scratch drops ~15/16 of the bias work (measured ~12% of
+        # T5 encoder time at the flagship chunk shape).
+        @pl.when(pl.program_id(2) == 0)
+        def _fill_base():
+            base_scr[:] = _base_block()
+
+        base = base_scr[:]
+    else:
+        base = _base_block()
     causal_keep = None
     if causal or local_window is not None:
         causal_keep = col - (sk - sq) <= row
@@ -403,6 +420,11 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
     real_specs = [s for s in in_specs if s is not None]
     real_args = [a for a in args if a is not None]
 
+    # Cache the batch-independent bias/padding block across the b axis —
+    # valid only on the single-k path, where b (sequential) iterates
+    # directly inside a fixed (h, q, k) block index.
+    cache_base = single_k and rel_bias is not None
+
     def kernel(*refs):
         it = iter(refs[: len(real_specs)])
         q_ref = next(it)
@@ -415,13 +437,23 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         rel_ref = next(it) if rel_bias is not None else None
         bidirq_ref = next(it) if bidir_ids is not None else None
         bidirk_ref = next(it) if bidir_ids is not None else None
-        o_ref, m_scr, l_scr, acc_scr = refs[len(real_specs):]
+        scr = refs[len(real_specs):]
+        o_ref, m_scr, l_scr, acc_scr = scr[:4]
+        base_scr = scr[4] if cache_base else None
         _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
                       segk_ref, rel_ref, bidirq_ref, bidirk_ref, o_ref,
-                      m_scr, l_scr, acc_scr, scale=scale, causal=causal,
-                      sq=sq, sk=sk, block_q=block_q, block_k=block_k,
-                      local_window=local_window, rel_cfg=rel_cfg,
-                      single_k=single_k, batch_group=group)
+                      m_scr, l_scr, acc_scr, base_scr, scale=scale,
+                      causal=causal, sq=sq, sk=sk, block_q=block_q,
+                      block_k=block_k, local_window=local_window,
+                      rel_cfg=rel_cfg, single_k=single_k, batch_group=group)
+
+    scratch = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d_pad), jnp.float32),
+    ]
+    if cache_base:
+        scratch.append(pltpu.VMEM((block_q, block_k), jnp.float32))
 
     out = pl.pallas_call(
         kernel,
@@ -430,11 +462,7 @@ def flash_attention(q, k, v, bias=None, kv_mask=None, causal=False,
         out_specs=pl.BlockSpec((group, 1, block_q, d_pad),
                                lambda hi, qi, bi, ki: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary"),
@@ -492,7 +520,12 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
         jnp.int32, (block_q, block_k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     neg = jnp.float32(NEG_INF)
-    base = jnp.where(col < sk, 0.0, neg)
+    # skip the pad select when kv is already tile-aligned (the hot S=640
+    # shapes) — every op here runs per score element on the VPU, which is
+    # the kernel's bottleneck at d=64 (matmul roofline 2.2 ms/layer vs
+    # 6.9 ms measured before trimming)
+    base = jnp.zeros((block_q, block_k), jnp.float32) if block_k == sk \
+        else jnp.where(col < sk, 0.0, neg)
     if mask_ref is not None:
         base = jnp.where(mask_ref[0, 0][None, :] != 0, base, neg)
     if segq_ref is not None:
@@ -514,20 +547,35 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
     qblk = q_ref[0]                                  # (block_q, hg*D)
     kblk = k_ref[0]                                  # (block_k, (hg//rep)*D)
     vblk = v_ref[0]
-    outs = []
-    for i in range(hg):
+
+    def qk(i):
         kv = i // kv_rep                             # GQA: static kv index
-        q = qblk[:, i * d:(i + 1) * d]
-        k = kblk[:, kv * d:(kv + 1) * d]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            qblk[:, i * d:(i + 1) * d], kblk[:, kv * d:(kv + 1) * d],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if scale != 1.0:  # T5 uses scale 1; skip the (bq, bk) VPU multiply
+            s = s * scale
+        return s
+
+    outs = []
+    # Software-pipelined head loop: issue head i+1's QK^T (MXU) before head
+    # i's softmax (VPU) so the units overlap — the kernel is VPU-bound at
+    # d=64 (exp/max/sum over the full (bq, bk) tile per head, ~3x the
+    # matmul roofline when serialized).
+    s_next = qk(0)
+    for i in range(hg):
+        kv = i // kv_rep
+        s = s_next
+        if i + 1 < hg:
+            s_next = qk(i + 1)
         s = s + base
         if bias_ref is not None:
             s = s + bias_ref[0, i]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - jnp.where(m <= neg, 0.0, m))
-        p = jnp.where(s <= neg, 0.0, p)
+        # no post-exp mask select: masked scores sit at ~NEG_INF, and
+        # exp(NEG_INF - m) underflows to exactly 0.0 for any finite m;
+        # fully-masked rows (m == NEG_INF) zero out via the l == 0 guard
         l = jnp.sum(p, axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
             p.astype(vblk.dtype), vblk[:, kv * d:(kv + 1) * d],

@@ -50,6 +50,23 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6,
     ``cast_weight_dtype``: HF T5 multiplies the normalized fp32 value after
     casting it back to the weight dtype; keep True for parity.
     """
+    # Unlike LayerNorm, the XLA lowering of RMSNorm fuses into the
+    # consuming matmul's operand read: swapping in the Pallas kernel
+    # (norms.rms_norm_fused) measured *slower* at the flagship shapes
+    # (T5 enc 1220 -> 1266 ms/chunk on v5e) because the pallas_call is a
+    # fusion barrier. Kept available behind T2V_FUSED_RMS=1 for regimes
+    # where the norm is not matmul-adjacent.
+    from .norms import rms_norm_fused, _fused_ok, FUSED_RMS
+
+    if FUSED_RMS and _fused_ok(x):
+        return rms_norm_fused(x, scale, eps, offset, cast_weight_dtype)
+    return rms_norm_xla(x, scale, eps, offset, cast_weight_dtype)
+
+
+def rms_norm_xla(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6,
+                 offset: float = 0.0,
+                 cast_weight_dtype: bool = True) -> jnp.ndarray:
+    """Reference XLA RMSNorm (ground truth for the fused kernel)."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)

@@ -24,11 +24,21 @@ except ImportError:  # pragma: no cover
 
 _ROW_BLOCKS = (1024, 512, 256, 128, 64, 32, 16, 8)
 
+
+def _pick_block(rows: int, d: int) -> int:
+    """Largest row block dividing `rows` whose tile fits scoped VMEM: the
+    kernel holds the bf16 in/out tiles plus fp32 intermediates, ~14 bytes
+    per element — cap the tile at 2^20 elements (~14 MB of the 36 MB
+    scoped-vmem budget; 1024x2048 tiles OOM'd at d_model=2048)."""
+    return next(b for b in _ROW_BLOCKS
+                if rows % b == 0 and b * d <= 1 << 20)
+
 # Read once at import: this feeds trace-time kernel dispatch inside jitted
 # callers, so a post-import change would silently not apply to already-
 # compiled shapes (set before importing the package instead).
 import os as _os
 FUSED_LN = _os.environ.get("T2V_FUSED_LN", "1") == "1"
+FUSED_RMS = _os.environ.get("T2V_FUSED_RMS", "0") == "1"  # see layers.rms_norm
 
 
 def _on_tpu() -> bool:
@@ -72,7 +82,7 @@ def layer_norm_fused(x: jnp.ndarray, scale: jnp.ndarray,
     d = shape[-1]
     rows = x.size // d
     xf = x.reshape(rows, d)
-    blk = next(b for b in _ROW_BLOCKS if rows % b == 0)
+    blk = _pick_block(rows, d)
 
     s32 = scale.astype(jnp.float32).reshape(1, d)
     args = [xf, s32]
@@ -97,4 +107,50 @@ def layer_norm_fused(x: jnp.ndarray, scale: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         interpret=interpret,
     )(*args)
+    return out.reshape(shape)
+
+
+def _rms_kernel(x_ref, s_ref, o_ref, *, eps, offset, cast_weight_dtype):
+    x = x_ref[...].astype(jnp.float32)          # (rows_blk, D)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    y = x * jax.lax.rsqrt(var + eps)
+    s = s_ref[0]
+    if cast_weight_dtype:
+        # HF T5: the normalized fp32 value is cast back to the weight dtype
+        # BEFORE the scale multiply — bit-parity requires the same rounding.
+        y = y.astype(s.dtype)
+    w = s + offset if offset else s
+    o_ref[...] = (w * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "offset", "cast_weight_dtype",
+                                    "interpret"))
+def rms_norm_fused(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6,
+                   offset: float = 0.0, cast_weight_dtype: bool = True,
+                   interpret: bool = False) -> jnp.ndarray:
+    """RMSNorm over the last axis; one HBM read + one write per element.
+
+    Same XLA-materialization story as LayerNorm: the default lowering of
+    the fp32-statistics RMSNorm round-trips an fp32 copy of the bf16
+    activation through HBM per reduction. T5's encoder runs 2 of these per
+    layer over (B, S, d_model) — at the flagship chunk shape that fp32
+    traffic is ~10% of encoder wall time (measured v5e).
+    """
+    shape = x.shape
+    d = shape[-1]
+    rows = x.size // d
+    xf = x.reshape(rows, d)
+    blk = _pick_block(rows, d)
+
+    out = pl.pallas_call(
+        functools.partial(_rms_kernel, eps=eps, offset=offset,
+                          cast_weight_dtype=cast_weight_dtype),
+        grid=(rows // blk,),
+        in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                  pl.BlockSpec((1, d), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((blk, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        interpret=interpret,
+    )(xf, scale.reshape(1, d))
     return out.reshape(shape)

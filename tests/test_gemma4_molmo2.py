@@ -132,3 +132,31 @@ def test_batched_rollout_scoring_matches_sequential(name, image, video):
     for b, s_ in zip(batched, seq):
         assert not isinstance(s_, str), "sequential rejected, batched scored"
         np.testing.assert_allclose(b, s_, rtol=2e-5, atol=2e-7)
+
+
+def test_checkpoint_dims_guard():
+    """Provisional-dims families must reject a checkpoint whose shapes
+    disagree with the registry config, with a readable per-leaf report
+    (models/checkpoint.py:validate_params_dims)."""
+    import jax
+    import pytest
+    from t2v_metrics_tpu.models import molmo2 as m2
+    from t2v_metrics_tpu.models.checkpoint import validate_params_dims
+
+    cfg = m2.MOLMO2_MODELS["molmo2-test"]["config"]
+    params = m2.init_molmo2(jax.random.PRNGKey(0), cfg)
+    expected = jax.eval_shape(lambda: m2.init_molmo2(jax.random.PRNGKey(0),
+                                                     cfg))
+    validate_params_dims(params, expected, "molmo2-test")  # clean pass
+
+    import jax.numpy as jnp
+    bad = dict(params)
+    bad["connector"] = dict(params["connector"])
+    bad["connector"]["fc1"] = {"w": jnp.zeros((7, 7)), "b": jnp.zeros((7,))}
+    del bad["decoder"]["blocks"][0]["attn"]["q_norm"]
+    with pytest.raises(ValueError) as ei:
+        validate_params_dims(bad, expected, "molmo2-test", provisional=True)
+    msg = str(ei.value)
+    assert "shape mismatch" in msg and "connector/fc1/w" in msg
+    assert "missing" in msg and "q_norm" in msg
+    assert "PROVISIONAL" in msg

@@ -401,6 +401,38 @@ class TestFusedLayerNorm:
                                    atol=1e-5, rtol=1e-5)
 
 
+class TestFusedRMSNorm:
+    """Pallas fused RMSNorm (ops/norms.py) vs the XLA reference — must be
+    bit-identical including the HF T5 cast-to-weight-dtype-before-scale
+    rounding (parity-critical: T5 runs 2 per encoder layer)."""
+
+    @pytest.mark.parametrize("cast_wd", [True, False])
+    def test_matches_xla_bf16(self, cast_wd):
+        from t2v_metrics_tpu.ops.layers import rms_norm_xla
+        from t2v_metrics_tpu.ops.norms import rms_norm_fused
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(8, 16, 256)).astype(np.float32)
+                        * 3.0, jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(size=(256,)), jnp.bfloat16)
+        ref = rms_norm_xla(x, scale, 1e-6, 0.0, cast_wd)
+        fused = rms_norm_fused(x, scale, 1e-6, 0.0, cast_wd, interpret=True)
+        np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                      np.asarray(ref, np.float32))
+
+    def test_gemma_offset(self):
+        from t2v_metrics_tpu.ops.layers import rms_norm_xla
+        from t2v_metrics_tpu.ops.norms import rms_norm_fused
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(16, 128)), jnp.float32)
+        scale = jnp.asarray(rng.normal(size=(128,)) * 0.1, jnp.float32)
+        ref = rms_norm_xla(x, scale, 1e-6, 1.0, False)
+        fused = rms_norm_fused(x, scale, 1e-6, 1.0, False, interpret=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+
 class TestFlatFlashAttention:
     """Head-major (B,S,H,D) flash kernel vs the (B,H,S,D) reference."""
 
