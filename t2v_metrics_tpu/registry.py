@@ -112,6 +112,26 @@ def _register_builtin():
 
     _VQA_FAMILIES.append((internvl_names, internvl_build))
 
+    def llava_names():
+        from .models.llava import LLAVA_MODELS
+        return LLAVA_MODELS
+
+    def llava_build(name, device, cache_dir, **kw):
+        from .models.llava_adapter import LlavaAdapter
+        return LlavaAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((llava_names, llava_build))
+
+    def instructblip_names():
+        from .models.instructblip import INSTRUCTBLIP_MODELS
+        return INSTRUCTBLIP_MODELS
+
+    def instructblip_build(name, device, cache_dir, **kw):
+        from .models.instructblip_adapter import InstructBlipAdapter
+        return InstructBlipAdapter(name, device, cache_dir, **kw)
+
+    _VQA_FAMILIES.append((instructblip_names, instructblip_build))
+
     def gpt4v_names():
         from .remote.gpt4v import GPT4V_MODELS
         return GPT4V_MODELS
