@@ -174,19 +174,16 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
                              local_window=local_window, bidir_ids=bidir_ids)
         return L.linear(out, p["o"]["w"], p["o"].get("b")), None
 
-    q = q.transpose(0, 2, 1, 3)
-    k = k.transpose(0, 2, 1, 3)
-    v = v.reshape(b, s, cfg.kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-
-    # append to static-size cache at cache_pos
-    ck = jax.lax.dynamic_update_slice(cache_layer["k"], k, (0, 0, cache_pos, 0))
-    cv = jax.lax.dynamic_update_slice(cache_layer["v"], v, (0, 0, cache_pos, 0))
-    k_full, v_full = ck, cv
+    # Flat KV cache: (B, max_len, kv_heads*D) — the projections' native
+    # layout, so appending is a plain dynamic_update_slice (no transpose
+    # copies) and GQA reads each kv head by reshape (no jnp.repeat
+    # materializing heads/kv_heads copies of the cache every step).
+    kvd = cfg.kv_heads * cfg.head_dim
+    ck = jax.lax.dynamic_update_slice(cache_layer["k"], k.reshape(b, s, kvd),
+                                      (0, cache_pos, 0))
+    cv = jax.lax.dynamic_update_slice(cache_layer["v"], v.reshape(b, s, kvd),
+                                      (0, cache_pos, 0))
     new_cache = {"k": ck, "v": cv}
-
-    rep = cfg.heads // cfg.kv_heads
-    k_rep = jnp.repeat(k_full, rep, axis=1)
-    v_rep = jnp.repeat(v_full, rep, axis=1)
 
     # cached path: the chunk occupies cache slots [cache_pos,
     # cache_pos+s); causal structure is expressed as an additive bias
@@ -196,7 +193,7 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
     # bidir_ids here is the CACHE-ALIGNED (B, max_len) image-group array
     # (-1 for text): same-group slots attend bidirectionally, overriding
     # both causality and the window (HF Gemma3 or-mask semantics).
-    max_len = k_full.shape[2]
+    max_len = ck.shape[1]
     rows = cache_pos + jnp.arange(s)
     cols = jnp.arange(max_len)
     keep = cols[None, :] <= rows[:, None]            # (s, max_len)
@@ -210,14 +207,29 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
         keep = keep[None] | same
     if mask is not None:
         keep = (keep if keep.ndim == 3 else keep[None]) & mask[:, None, :]
-        bias = jnp.where(keep, 0.0, -1e30)[:, None]
-    elif keep.ndim == 3:
-        bias = jnp.where(keep, 0.0, -1e30)[:, None]
-    else:
-        bias = jnp.where(keep, 0.0, -1e30)[None, None]
-    out = attention(q, k_rep, v_rep, bias=bias, causal=False,
-                    impl="reference", scale=scale)
-    out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.heads * cfg.head_dim)
+    elif keep.ndim == 2:
+        keep = keep[None]
+    bias = jnp.where(keep, 0.0, -1e30)               # (B|1, s, max_len)
+
+    # grouped attention in the flat layout: head h = kv*rep + r, matching
+    # the head-major projection order, so a (kvh, rep) reshape of q lines
+    # every query head up with its kv head. Numerics mirror
+    # attention_reference exactly (fp32 scores + softmax, p cast to v
+    # dtype, fp32 PV accumulation).
+    rep = cfg.heads // cfg.kv_heads
+    d = cfg.head_dim
+    if scale is None:
+        scale = d ** -0.5
+    q5 = q.reshape(b, s, cfg.kv_heads, rep, d)
+    k5 = ck.reshape(b, max_len, cfg.kv_heads, d)
+    v5 = cv.reshape(b, max_len, cfg.kv_heads, d)
+    scores = jnp.einsum("bskrd,bmkd->bskrm", q5, k5,
+                        preferred_element_type=jnp.float32)
+    scores = scores * scale + bias[:, :, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bskrm,bmkd->bskrd", probs.astype(v5.dtype), v5,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(b, s, cfg.heads * cfg.head_dim)
     return L.linear(out, p["o"]["w"], p["o"].get("b")), new_cache
 
 
@@ -339,8 +351,12 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
 
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    return [{"k": jnp.zeros((batch, cfg.kv_heads, max_len, cfg.head_dim), dtype),
-             "v": jnp.zeros((batch, cfg.kv_heads, max_len, cfg.head_dim), dtype)}
+    """Flat (B, max_len, kv_heads*head_dim) KV cache — the projection
+    layout, appended with no transposes and read GQA-style with no
+    jnp.repeat (see _attn cached path)."""
+    kvd = cfg.kv_heads * cfg.head_dim
+    return [{"k": jnp.zeros((batch, max_len, kvd), dtype),
+             "v": jnp.zeros((batch, max_len, kvd), dtype)}
             for _ in range(cfg.layers)]
 
 

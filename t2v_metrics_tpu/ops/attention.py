@@ -496,6 +496,28 @@ def _on_tpu() -> bool:
 # over the heads in-kernel, so no transposed copy ever exists in HBM.
 # Single-kv-block shapes only (the hot paths: ViT T=640, T5 S=640).
 
+def _flat_plan(sq: int, sk: int, heads: int, kv_heads: int | None, d: int,
+               has_bias: bool, block_q: int = 768):
+    """(bq, sk_pad, hg) geometry for the flat flash kernel; hg is None when
+    no legal head grouping exists. SINGLE source of truth for both the
+    attention_flat dispatch gate and flash_attention_flat itself — a drift
+    between the two would turn qualifying shapes into runtime
+    ValueErrors instead of reference-path fallbacks."""
+    nq = -(-sq // block_q)
+    bq = _round_up(-(-sq // nq), 128) if sq > 128 else _round_up(max(sq, 8), 8)
+    sk_pad = _round_up(sk, 128)
+    kvh = kv_heads if kv_heads is not None else heads
+    if kvh != heads:
+        # GQA runs all heads in one program: bound the VMEM footprint
+        # (q/o + k/v blocks double-buffered + two fp32 score tiles).
+        est = ((2 * bq * heads * d * 2 + 2 * sk_pad * kvh * d * 2) * 2
+               + bq * sk_pad * 4 * 2)
+        hg = heads if heads % kvh == 0 and est <= 40 * 1024 * 1024 else None
+    else:
+        hg = _flat_head_group(heads, d, bq, sk_pad, has_bias)
+    return bq, sk_pad, hg
+
+
 def _flat_head_group(h: int, d: int, bq: int, sk_pad: int,
                      has_bias: bool) -> int | None:
     """Largest legal head group. Blocks are (1, rows, hg*d) slices of the
@@ -609,15 +631,10 @@ def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
     if scale is None:
         scale = d ** -0.5
 
-    nq = -(-sq // block_q)
-    bq = _round_up(-(-sq // nq), 128) if sq > 128 else _round_up(max(sq, 8), 8)
+    # same geometry the dispatch gate checked (_flat_plan)
+    bq, sk_pad, hg = _flat_plan(sq, sk, h, kv_heads, d, bias is not None,
+                                block_q=block_q)
     sq_pad = _round_up(sq, bq)
-    sk_pad = _round_up(sk, 128)
-
-    if kv_rep > 1:
-        hg = h  # GQA: one group so every kv lane offset is static
-    else:
-        hg = _flat_head_group(h, d, bq, sk_pad, bias is not None)
     if hg is None:
         raise ValueError("no legal head group for flat flash attention")
 
@@ -743,18 +760,8 @@ def attention_flat(q, k, v, heads, kv_heads=None, bias=None, kv_mask=None,
     d = hd // heads
     kvh = kv_heads if kv_heads is not None else heads
     sk = k.shape[1]
-    nq = -(-sq // 768)
-    bq = _round_up(-(-sq // nq), 128) if sq > 128 else _round_up(max(sq, 8), 8)
-    sk_pad = _round_up(sk, 128)
-    if kvh != heads:
-        # GQA runs all heads in one program: bound the VMEM footprint
-        # (q/o + k/v blocks double-buffered + two fp32 score tiles).
-        est = ((2 * bq * heads * d * 2 + 2 * sk_pad * kvh * d * 2) * 2
-               + bq * sk_pad * 4 * 2)
-        hg_ok = heads % kvh == 0 and est <= 40 * 1024 * 1024
-    else:
-        hg_ok = _flat_head_group(heads, d, bq, sk_pad,
-                                 bias is not None) is not None
+    _, _, hg = _flat_plan(sq, sk, heads, kv_heads, d, bias is not None)
+    hg_ok = hg is not None
     ok = (impl != "reference" and _on_tpu() and pltpu is not None
           and sq >= 128 and 128 <= sk <= 2048
           and (local_window is None or causal)

@@ -22,13 +22,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 1, tp: int | None = None, devices=None) -> Mesh:
-    """Create a (dp, tp) mesh. tp=None uses all remaining devices."""
+def make_mesh(dp: int = 1, tp: int | None = None, devices=None,
+              ep: int = 1) -> Mesh:
+    """Create a (dp, tp) mesh — or (dp, ep, tp) when ``ep > 1``.
+
+    tp=None uses all remaining devices. The ``ep`` axis carries expert
+    parallelism for MoE checkpoints (qwen3-vl-30b-a3b / 235b-a22b,
+    reference qwen3vl_model.py:28-45): the packed expert tensors shard
+    their leading E axis over ep while dense weights shard over tp, so a
+    235B MoE spreads experts across chips without fragmenting the dense
+    matmuls. ep sits between dp and tp so expert all-reduces ride the
+    inner (faster) ICI dimension together with tp collectives.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if tp is None:
-        tp = n // dp
-    assert dp * tp <= n, f"mesh {dp}x{tp} > {n} devices"
+        tp = n // (dp * ep)
+    assert dp * ep * tp <= n, f"mesh {dp}x{ep}x{tp} > {n} devices"
+    if ep > 1:
+        arr = np.asarray(devices[: dp * ep * tp]).reshape(dp, ep, tp)
+        return Mesh(arr, ("dp", "ep", "tp"))
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
@@ -97,8 +110,12 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def partition_specs(params, tp_axis: str = "tp"):
-    """Pytree of PartitionSpec matching `params` (TP sharding rules)."""
+def partition_specs(params, tp_axis: str = "tp", ep_axis: str | None = None):
+    """Pytree of PartitionSpec matching `params` (TP sharding rules).
+
+    ep_axis: mesh axis for the packed expert dimension of MoE tensors;
+    defaults to the tp axis (expert-sharded TP) when the mesh has no
+    dedicated ep axis."""
 
     def spec_for(path, leaf):
         s = _path_str(path)
@@ -106,7 +123,7 @@ def partition_specs(params, tp_axis: str = "tp"):
             return P()
         # expert parallelism: shard the packed expert axis of MoE tensors
         if s.endswith("moe/gate_up") or s.endswith("moe/down"):
-            return P(tp_axis, None, None)
+            return P(ep_axis or tp_axis, None, None)
         if any(s.endswith(k) for k in _COL_SHARDED):
             return P(None, tp_axis) if np.ndim(leaf) == 2 else P(tp_axis)
         if any(s.endswith(k) for k in _ROW_SHARDED):
@@ -129,7 +146,8 @@ def abstract_sharded_params(params, mesh: Mesh, tp_axis: str = "tp"):
     models too large to materialize on the host — jit(...).lower(abstract)
     .compile() runs the full GSPMD partitioner without allocating weights.
     """
-    specs = partition_specs(params, tp_axis)
+    specs = partition_specs(params, tp_axis,
+                            ep_axis="ep" if "ep" in mesh.axis_names else None)
     return jax.tree.map(
         lambda x, s: None if x is None else jax.ShapeDtypeStruct(
             x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
@@ -137,8 +155,10 @@ def abstract_sharded_params(params, mesh: Mesh, tp_axis: str = "tp"):
 
 
 def shard_params(params, mesh: Mesh, tp_axis: str = "tp"):
-    """Place a param pytree onto the mesh with TP shardings."""
-    specs = partition_specs(params, tp_axis)
+    """Place a param pytree onto the mesh with TP shardings (+ EP for MoE
+    expert tensors when the mesh has an ``ep`` axis)."""
+    specs = partition_specs(params, tp_axis,
+                            ep_axis="ep" if "ep" in mesh.axis_names else None)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)) if x is not None else None,
         params, specs, is_leaf=lambda x: x is None)

@@ -145,6 +145,38 @@ def test_moe_ep_sharding(mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_moe_dedicated_ep_axis():
+    """(dp, ep, tp) mesh: expert tensors shard over the dedicated ep axis,
+    dense weights over tp, and the sharded MoE decoder matches unsharded
+    numerics (reference MoE checkpoints qwen3vl_model.py:28-45)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from t2v_metrics_tpu.models import qwen3vl as q3
+    from t2v_metrics_tpu.models import decoder as dec
+
+    cfg = q3.resolve_config("qwen3-vl-moe-test")
+    params = q3.init_qwen3vl(jax.random.PRNGKey(7), cfg)
+    ids = np.array([[5, 6, 7, 8], [9, 10, 11, 12]])
+    embeds = params["decoder"]["embed"][jnp.asarray(ids)]
+    pos = jnp.asarray(np.tile(np.arange(4)[None, None], (3, 2, 1)))
+    ref, _ = dec.forward(params["decoder"], cfg.text, embeds, pos,
+                         jnp.ones(ids.shape, bool))
+
+    mesh = pmesh.make_mesh(dp=1, ep=2, tp=4)
+    assert mesh.axis_names == ("dp", "ep", "tp")
+    sharded = pmesh.shard_params(params, mesh)
+    # the packed expert tensors must actually carry the ep axis
+    gu = sharded["decoder"]["blocks"][0]["mlp"]["moe"]["gate_up"]
+    assert gu.sharding.spec == P("ep", None, None)
+    qw = sharded["decoder"]["blocks"][0]["attn"]["q"]["w"]
+    assert qw.sharding.spec == P(None, "tp")
+    with mesh:
+        out, _ = jax.jit(lambda p, e: dec.forward(
+            p["decoder"], cfg.text, e, pos, jnp.ones(ids.shape, bool)))(
+            sharded, embeds)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_multihost_mesh_matches_single_device():
     """("dcn", "dp", "tp") mesh (multi-host scaffolding, SURVEY.md §2.4):
     process-spanning data sharding + ICI TP must reproduce single-device
@@ -216,3 +248,8 @@ def test_xxl_tp_aot_compiles_and_fits_v5e(tp):
     # and the raw temps must not exceed the artifact by more than 1 GiB of
     # genuine activations — catches a real activation-memory regression
     assert m["temps"] < 2 * m["args"] + 2**30, m["temps"]
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow
