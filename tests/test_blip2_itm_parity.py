@@ -62,3 +62,8 @@ def test_itm_score_parity(setup):
                                       jnp.asarray(px.transpose(0, 2, 3, 1)),
                                       jnp.asarray(ids), jnp.asarray(mask) > 0))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

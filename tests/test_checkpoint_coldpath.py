@@ -169,3 +169,8 @@ def test_cold_path_native_npz(tmp_path):
     img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
     s = scorer(images=[img], texts=["a dog"])
     assert s.shape == (1, 1) and 0.0 <= float(s[0, 0]) <= 1.0
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -159,3 +159,8 @@ def test_first_token_distribution_sums_to_one(setup):
                              pair_image=jnp.asarray([0], jnp.int32),
                              pair_text=jnp.asarray([0], jnp.int32))
     np.testing.assert_allclose(np.asarray(dist).sum(), 1.0, atol=1e-5)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

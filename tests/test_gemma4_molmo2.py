@@ -160,3 +160,8 @@ def test_checkpoint_dims_guard():
     assert "shape mismatch" in msg and "connector/fc1/w" in msg
     assert "missing" in msg and "q_norm" in msg
     assert "PROVISIONAL" in msg
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -73,3 +73,8 @@ def test_paligemma_video_concat_routing(pali, media):
     s = pali(images=[vid], texts=["a blob"], num_frames=3)
     assert s.shape == (1, 1)
     assert 0.0 <= s[0, 0] <= 1.0
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -241,3 +241,8 @@ def test_molmo2_batched_generate_matches_host_loop(image, video):
         seq.append(decode_text(ad.tokenizer, gen, ad._special_ids()))
     batched = ad.generate(images=imgs, texts=txts, max_new_tokens=5)
     assert batched == seq, (batched, seq)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -1,3 +1,4 @@
+import pytest
 """Validate the driver entry points on the virtual 8-device CPU mesh."""
 
 import sys
@@ -20,3 +21,8 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -139,3 +139,8 @@ def test_qwen35_thinking_template():
     ad2 = Qwen3VLAdapter("qwen3-vl-test", init="random")
     ids2 = ad2._build_ids("Is this a cat?", 4, False)
     assert ids2[-len(suffix):] != suffix
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

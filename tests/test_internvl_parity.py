@@ -114,3 +114,8 @@ def test_internvl_adapter_end_to_end(tmp_path):
     sv = scorer(images=[vid], texts=["a blob"], num_segments=4)
     assert sv.shape == (1, 1) and 0.0 <= sv[0, 0] <= 1.0
     assert "internvl3-8b" in t2v.list_all_models()
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

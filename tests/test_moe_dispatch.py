@@ -105,3 +105,8 @@ def test_skewed_routing_no_drops():
     disp = moe.moe_mlp_dispatch(p["moe"], cfg, x, block_m=8)
     np.testing.assert_allclose(np.asarray(disp), np.asarray(dense),
                                rtol=2e-5, atol=2e-6)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -82,3 +82,8 @@ def test_first_token_distribution_parity(setup):
     ours = np.asarray(dist)[0]
     np.testing.assert_allclose(ours, ref, atol=1e-4)
     assert int(np.argmax(ours)) == int(np.argmax(ref))
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

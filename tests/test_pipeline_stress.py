@@ -120,3 +120,8 @@ def test_on_drain_callback_monotonic(scorer, monkeypatch):
     monkeypatch.setenv("T2V_PIPELINE_THREAD", "1")
     scorer.batch_forward(data, batch_size=8, on_drain=seen.append)
     assert seen == sorted(seen) and seen[-1] == 48
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

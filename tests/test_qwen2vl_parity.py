@@ -152,3 +152,8 @@ def test_splice_and_score_matches_hf_loss(setup):
         jnp.asarray([[len(prompt) - 1 + i for i in range(len(answer))]]),
         jnp.ones((1, len(answer)), jnp.float32))
     np.testing.assert_allclose(float(np.asarray(lp)[0]), ref, atol=1e-5)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -127,3 +127,8 @@ def test_batched_generate_matches_sequential(tmp_path):
            for i, t in zip(imgs, txts)]
     batched = ad.generate(images=imgs, texts=txts, max_new_tokens=4)
     assert batched == seq, (batched, seq)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

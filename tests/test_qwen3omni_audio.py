@@ -50,3 +50,8 @@ def test_geometry():
     assert chunk_lens[-1] == 40 % 16 or chunk_lens[-1] == 16
     assert total == valid.sum()
     assert seg.min() >= -1
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -57,3 +57,8 @@ def test_matrix_and_trace(scorer, media):
         [img], ["a cat"], score_position="start")
     assert len(traces) == 1
     assert "token_details" in traces[0]
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -167,3 +167,8 @@ def test_moe_parity():
     logits, _ = jdec.forward(params["decoder"], cfg_text, embeds,
                              jnp.asarray(pos), jnp.ones(ids.shape, bool))
     np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

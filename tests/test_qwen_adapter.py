@@ -120,3 +120,8 @@ def test_teacher_forcing_matches_rollout(tmp_path):
         d_t = tr_tf[0]["token_details"][0]
         assert d_r["expected_token_id"] == d_t["expected_token_id"]
         assert abs(d_r["probability"] - d_t["probability"]) < 1e-5
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -363,3 +363,8 @@ def test_adapter_generate_return_audio(tmp_path):
     with wavemod.open(wav_path, "rb") as w:
         assert w.getframerate() == 24000
         assert w.getnframes() == len(wavs[0])
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow

@@ -285,3 +285,8 @@ def test_molmo2_decoder_matches_torch_oracle():
     out, _ = dec.forward(params["decoder"], cfg, jnp.asarray(embeds),
                          jnp.asarray(pos), jnp.ones((b, s), bool))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+# full-fidelity suite: run with plain `pytest`; the quick tier
+# (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
+pytestmark = pytest.mark.slow
