@@ -435,8 +435,16 @@ int64_t t2v_audio_decode(const char* path, int rate, float* out,
 // Test-fixture writer: a small MKV with an mpeg4 video track (solid frames)
 // and a pcm_s16le sine-tone audio track. Lets the test suite exercise the
 // audio-in-video path without an ffmpeg binary in the image.
+int t2v_test_write_av_seeded(const char* path, int w, int h, int n_frames,
+                             int fps, int sr, int seed);
+
 int t2v_test_write_av(const char* path, int w, int h, int n_frames, int fps,
                       int sr) {
+  return t2v_test_write_av_seeded(path, w, h, n_frames, fps, sr, 0);
+}
+
+int t2v_test_write_av_seeded(const char* path, int w, int h, int n_frames,
+                             int fps, int sr, int seed) {
   AVFormatContext* fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, "matroska", path) < 0)
     return -1;
@@ -487,8 +495,14 @@ int t2v_test_write_av(const char* path, int w, int h, int n_frames, int fps,
   av_frame_get_buffer(vf, 0);
   for (int i = 0; i < n_frames; ++i) {
     av_frame_make_writable(vf);
-    memset(vf->data[0], 60 + (i * 13) % 160,
+    memset(vf->data[0], 60 + (seed * 29 + i * 13) % 160,
            static_cast<size_t>(vf->linesize[0]) * h);
+    // per-seed luma texture so distinct "videos" have distinct pixels
+    // (bench realism: identical device inputs would hit execution caches)
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; x += 3)
+        vf->data[0][y * vf->linesize[0] + x] =
+            static_cast<uint8_t>(60 + (seed * 31 + x * 7 + y * 3 + i * 13) % 160);
     memset(vf->data[1], 128, static_cast<size_t>(vf->linesize[1]) * h / 2);
     memset(vf->data[2], 128, static_cast<size_t>(vf->linesize[2]) * h / 2);
     vf->pts = i;

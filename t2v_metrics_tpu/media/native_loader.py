@@ -73,6 +73,9 @@ def _load():
             lib.t2v_test_write_av.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                               ctypes.c_int, ctypes.c_int,
                                               ctypes.c_int, ctypes.c_int]
+            lib.t2v_test_write_av_seeded.restype = ctypes.c_int
+            lib.t2v_test_write_av_seeded.argtypes = \
+                lib.t2v_test_write_av.argtypes + [ctypes.c_int]
         except AttributeError:  # pragma: no cover — stale .so
             pass
         _LIB = lib
@@ -211,11 +214,17 @@ def decode_audio(path: str, rate: int = 16000,
 
 
 def write_test_av(path: str, w: int = 64, h: int = 48, n_frames: int = 20,
-                  fps: int = 10, sr: int = 16000) -> bool:
-    """Test-fixture MKV (mpeg4 video + pcm sine audio). True on success."""
+                  fps: int = 10, sr: int = 16000, seed: int = 0) -> bool:
+    """Test-fixture MKV (mpeg4 video + pcm sine audio). True on success.
+    ``seed`` varies the luma texture so distinct fixtures have distinct
+    pixels (bench realism: identical device inputs would be served from
+    execution caches)."""
     lib = _load()
     if not lib or not hasattr(lib, "t2v_test_write_av"):
         return False
+    if seed and hasattr(lib, "t2v_test_write_av_seeded"):
+        return lib.t2v_test_write_av_seeded(str(path).encode(), w, h,
+                                            n_frames, fps, sr, seed) == 0
     return lib.t2v_test_write_av(str(path).encode(), w, h, n_frames, fps,
                                  sr) == 0
 

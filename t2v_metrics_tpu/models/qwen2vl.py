@@ -265,17 +265,34 @@ def vision_tower(params: Params, cfg: QwenVisionConfig,
                  reverse: jnp.ndarray,      # (S/mu,) un-permutation
                  ) -> jnp.ndarray:
     """-> (S/merge_unit, out_hidden) merged features in original order."""
+    return vision_tower_batch(params, cfg, patches[None], pos_hw[None],
+                              win_seg[None], full_seg[None], reverse[None])[0]
+
+
+def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
+                       patches: jnp.ndarray,    # (B, S, patch_dim)
+                       pos_hw: jnp.ndarray,     # (B, S, 2) int32
+                       win_seg: jnp.ndarray,    # (B, S) segs, -1 = pad
+                       full_seg: jnp.ndarray,   # (B, S) segs, -1 = pad
+                       reverse: jnp.ndarray,    # (B, S/mu) un-permutation
+                       ) -> jnp.ndarray:
+    """Batched variant: B same-shape visuals through one call.
+
+    The reference encodes per (image, text) pair (qwen2vl_model.py:223-230
+    via HF generate); here same-shape visuals batch on the leading axis —
+    one H2D transfer and one dispatch per chunk instead of per video,
+    which dominates the video-scoring wall on hosts with slow interconnect
+    to the chip. -> (B, S/merge_unit, out_hidden)."""
     patches = patches.astype(params["patch_w"].dtype)  # bf16 MXU path
-    x = patches @ params["patch_w"]                        # (S, hidden)
+    x = patches @ params["patch_w"]                        # (B, S, hidden)
 
     half = cfg.head_dim // 2
     inv = 1.0 / (10000.0 ** (jnp.arange(0, half, 2, dtype=jnp.float32) / half))
-    freqs = pos_hw.astype(jnp.float32)[..., None] * inv    # (S, 2, half/2)
-    freqs = freqs.reshape(pos_hw.shape[0], -1)             # (S, half)
-    emb = jnp.concatenate([freqs, freqs], axis=-1)         # (S, head_dim)
-    cos, sin = jnp.cos(emb)[None], jnp.sin(emb)[None]      # (1, S, D)
+    freqs = pos_hw.astype(jnp.float32)[..., None] * inv    # (B, S, 2, half/2)
+    freqs = freqs.reshape(*pos_hw.shape[:2], -1)           # (B, S, half)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)         # (B, S, head_dim)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)                  # (B, S, D)
 
-    x = x[None]                                            # batch of 1
     for i, blk in enumerate(params["blocks"]):
         seg = full_seg if i in cfg.fullatt_block_indexes else win_seg
         h = L.rms_norm(x, blk["ln1"]["scale"], cfg.rms_eps)
@@ -290,21 +307,21 @@ def vision_tower(params: Params, cfg: QwenVisionConfig,
         k = dec.apply_rope_bshd(k.reshape(b, s, cfg.heads, cfg.head_dim),
                                 cos, sin)
         a = attention_flat(q.reshape(b, s, -1), k.reshape(b, s, -1), v,
-                           cfg.heads, segment_ids=seg[None])
+                           cfg.heads, segment_ids=seg)
         x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         h = L.rms_norm(x, blk["ln2"]["scale"], cfg.rms_eps)
         h = (L.ACT_FNS["silu"](L.linear(h, blk["mlp"]["gate"]["w"], blk["mlp"]["gate"]["b"]))
              * L.linear(h, blk["mlp"]["up"]["w"], blk["mlp"]["up"]["b"]))
         x = x + L.linear(h, blk["mlp"]["down"]["w"], blk["mlp"]["down"]["b"])
 
-    x = x[0]
     x = L.rms_norm(x, params["merger"]["ln_q"]["scale"], cfg.rms_eps)
     mu = cfg.merge_unit
-    x = x.reshape(x.shape[0] // mu, mu * cfg.hidden)
+    b, s, _ = x.shape
+    x = x.reshape(b, s // mu, mu * cfg.hidden)
     x = L.linear(x, params["merger"]["fc1"]["w"], params["merger"]["fc1"]["b"])
     x = L.ACT_FNS["gelu"](x)
     x = L.linear(x, params["merger"]["fc2"]["w"], params["merger"]["fc2"]["b"])
-    return x[reverse]
+    return jnp.take_along_axis(x, reverse[..., None], axis=1)
 
 
 def splice_and_score(params: Params, cfg: Qwen2VLConfig,

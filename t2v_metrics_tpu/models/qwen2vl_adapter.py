@@ -153,10 +153,89 @@ class Qwen2VLAdapter(VQAScoreModel):
         mu = cfg.vision.merge_unit
         reverse = np.concatenate([geom["reverse"],
                                   np.arange(s // mu, sb // mu, dtype=np.int32)])
+        # ship patches in the weight dtype (bf16 halves the H2D bytes; the
+        # tower casts to weight dtype on entry regardless)
+        wd = self.params["vision"]["patch_w"].dtype
+        if wd == jnp.bfloat16:
+            import ml_dtypes
+
+            patches_w = patches_w.astype(ml_dtypes.bfloat16)
         feats = self._vision_jit(self.params, jnp.asarray(patches_w),
                                  jnp.asarray(pos_hw), jnp.asarray(win_seg),
                                  jnp.asarray(full_seg), jnp.asarray(reverse))
         return feats[: s // mu], grid, is_video, spg_t
+
+    def _encode_visuals(self, visuals, fps=None):
+        """Batch same-shape visuals through ONE vision call.
+
+        The per-visual path costs one H2D patch transfer + one dispatch
+        each (the dominant wall cost of video scoring on slow-interconnect
+        hosts); same-shape visuals instead stack on the tower's batch axis
+        (q.vision_tower_batch). Mixed shapes fall back per group. Returns
+        the same per-visual tuples as _encode_visual.
+        """
+        cfg = self.config
+        fps = fps if fps is not None else self.fps_default
+        hosts = []
+        for v in visuals:
+            is_video = (isinstance(v, str)
+                        and v.lower().endswith(VIDEO_EXTENSIONS))
+            if is_video:
+                frames, spg = self._load_video_frames(v, fps)
+                patches, grid = q.frames_to_patches(frames, cfg.vision)
+            else:
+                img = image_loader(v)
+                patches, grid = self._image_patches(img)
+                spg = 0.0
+            hosts.append([patches, grid, is_video, spg])
+
+        if not hasattr(self, "_vision_batch_jit"):
+            self._vision_batch_jit = jax.jit(
+                lambda p, *a: q.vision_tower_batch(p["vision"], cfg.vision,
+                                                   *a))
+        wd = self.params["vision"]["patch_w"].dtype
+        out = [None] * len(hosts)
+        groups = {}
+        for i, h in enumerate(hosts):
+            groups.setdefault(h[0].shape, []).append(i)
+        mu = cfg.vision.merge_unit
+        for shape, idxs in groups.items():
+            grid = hosts[idxs[0]][1]
+            geom = q.vision_geometry(grid, cfg.vision)
+            s = shape[0]
+            sb = _bucket(s, PATCH_BUCKETS)
+            pad = sb - s
+            stack = np.stack([hosts[i][0][geom["perm"]] for i in idxs])
+            if pad:
+                stack = np.concatenate(
+                    [stack, np.zeros((len(idxs), pad, shape[1]),
+                                     np.float32)], axis=1)
+            if wd == jnp.bfloat16:
+                import ml_dtypes
+
+                stack = stack.astype(ml_dtypes.bfloat16)
+            pos_hw = np.concatenate([geom["pos_hw"],
+                                     np.zeros((pad, 2), np.int32)]) \
+                if pad else geom["pos_hw"]
+            win_seg = np.concatenate([geom["win_seg"],
+                                      np.full(pad, -1, np.int32)]) \
+                if pad else geom["win_seg"]
+            full_seg = np.concatenate([np.zeros(s, np.int32),
+                                       np.full(pad, -1, np.int32)])
+            reverse = np.concatenate([geom["reverse"],
+                                      np.arange(s // mu, sb // mu,
+                                                dtype=np.int32)])
+            n = len(idxs)
+            feats = self._vision_batch_jit(
+                self.params, jnp.asarray(stack),
+                jnp.asarray(np.broadcast_to(pos_hw, (n, *pos_hw.shape))),
+                jnp.asarray(np.broadcast_to(win_seg, (n, sb))),
+                jnp.asarray(np.broadcast_to(full_seg, (n, sb))),
+                jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))))
+            for row, i in enumerate(idxs):
+                out[i] = (feats[row, : s // mu], hosts[i][1], hosts[i][2],
+                          hosts[i][3])
+        return out
 
     def _image_patches(self, img):
         cfg = self.config.vision
@@ -165,40 +244,64 @@ class Qwen2VLAdapter(VQAScoreModel):
 
     def _load_video_frames(self, path, fps):
         """fps-based sampling (qwen_vl_utils smart_nframes semantics) with
-        the reference's video max_pixels=360*420 cap (qwen2vl_model.py:142)."""
+        the reference's video max_pixels=360*420 cap (qwen2vl_model.py:142).
+
+        Decode prefers the native libav sequential reader (exact frame
+        addressing, multithreaded — the reference's decord equivalent);
+        cv2 position-seek is the fallback."""
         from PIL import Image
-        from ..media.video import _open_capture
+        from ..media import native_loader as nl
         from ..ops.image import smart_resize
         from ..constants import CLIP_MEAN, CLIP_STD
 
         cfg = self.config.vision
-        cap, cv2 = _open_capture(path)
-        try:
-            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            native = float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
-            if fps == "dynamic":
-                fps = 2.0
+        if fps == "dynamic":
+            fps = 2.0
+
+        def _nframes(total, native):
             n = total / native * float(fps)
-            n = max(4, min(768, total, int(round(n / 2) * 2)))  # FRAME_FACTOR=2
-            idx = np.round(np.linspace(0, max(total - 1, 0), n)).astype(np.int64)
-            frames = []
-            for i in idx:
-                cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
-                ok, frame = cap.read()
-                if ok:
-                    frames.append(frame[:, :, ::-1])
-            h, w = frames[0].shape[:2]
-            hb, wb = smart_resize(h, w, cfg.patch_size * cfg.merge_size,
-                                  min_pixels=56 * 56, max_pixels=360 * 420)
-            out = np.stack([
-                np.asarray(Image.fromarray(f).resize((wb, hb), Image.BICUBIC))
-                for f in frames]).astype(np.float32) / 255.0
-            out = (out - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
-            sample_fps = len(frames) / max(total / native, 1e-6)
-            spg_t = cfg.temporal_patch_size / max(sample_fps, 1e-6)
-            return out.transpose(0, 3, 1, 2), spg_t
-        finally:
-            cap.release()
+            return max(4, min(768, total,
+                              int(round(n / 2) * 2)))  # FRAME_FACTOR=2
+
+        frames = None
+        info = nl.video_info(path) if isinstance(path, str) else None
+        if info is not None and info["total_frames"] > 0:
+            total = info["total_frames"]
+            native = info["fps"] or 30.0
+            n = _nframes(total, native)
+            idx = np.round(np.linspace(0, max(total - 1, 0),
+                                       n)).astype(np.int64)
+            frames = nl.video_frames(path, idx)
+        if frames is None:  # cv2 fallback
+            from ..media.video import _open_capture
+
+            cap, cv2 = _open_capture(path)
+            try:
+                total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                native = float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+                n = _nframes(total, native)
+                idx = np.round(np.linspace(0, max(total - 1, 0),
+                                           n)).astype(np.int64)
+                got = []
+                for i in idx:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+                    ok, frame = cap.read()
+                    if ok:
+                        got.append(frame[:, :, ::-1])
+                frames = np.stack(got)
+            finally:
+                cap.release()
+        h, w = frames[0].shape[:2]
+        hb, wb = smart_resize(h, w, cfg.patch_size * cfg.merge_size,
+                              min_pixels=56 * 56, max_pixels=360 * 420)
+        out = np.stack([
+            np.asarray(Image.fromarray(np.ascontiguousarray(f)).resize(
+                (wb, hb), Image.BICUBIC))
+            for f in frames]).astype(np.float32) / 255.0
+        out = (out - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
+        sample_fps = len(frames) / max(total / native, 1e-6)
+        spg_t = cfg.temporal_patch_size / max(sample_fps, 1e-6)
+        return out.transpose(0, 3, 1, 2), spg_t
 
     # ------------------------------------------------------------------
     # prompts
@@ -230,7 +333,7 @@ class Qwen2VLAdapter(VQAScoreModel):
                 seen[key] = len(uniq)
                 uniq.append(v)
             inv.append(seen[key])
-        encoded = [self._encode_visual(v, fps) for v in uniq]
+        encoded = self._encode_visuals(uniq, fps)
 
         p = len(visuals)
         ids_list, grids, spgs, vids = [], [], [], []
@@ -245,13 +348,11 @@ class Qwen2VLAdapter(VQAScoreModel):
 
         s = _bucket(max(len(x) for x in ids_list), SEQ_BUCKETS)
         t_max = max(e[0].shape[0] for e in encoded)
-        d = encoded[0][0].shape[1]
         ids = np.zeros((p, s), np.int64)
         vis_mask = np.zeros((p, s), bool)
         vis_slot = np.zeros((p, s), np.int64)
         attn = np.zeros((p, s), bool)
         pos = np.zeros((3, p, s), np.int64)
-        feats_arr = np.zeros((p, max(t_max, 1), d), np.float32)
         prompt_lens = []
         for j, toks in enumerate(ids_list):
             n = len(toks)
@@ -264,20 +365,35 @@ class Qwen2VLAdapter(VQAScoreModel):
             pos[:, j, :n] = q.build_rope_index(
                 arr, [grids[j]], cfg,
                 second_per_grid_ts=[spgs[j]] if vids[j] else None)
-            f = encoded[inv[j]][0]
-            feats_arr[j, : f.shape[0]] = np.asarray(f, np.float32)
             prompt_lens.append(n)
+        # Per-pair features assembled ON DEVICE: pad each unique visual's
+        # (T_u, D) features to t_max and gather by pair index — the
+        # previous host assembly fetched every feature tensor to numpy and
+        # re-uploaded it per pair (a D2H+H2D round trip of the largest
+        # arrays in the pipeline; profiled as the dominant cost of the
+        # video path on the tunnel).
+        uniq_feats = [e[0] for e in encoded]
+        padded = [jnp.pad(f, ((0, max(t_max, 1) - f.shape[0]), (0, 0)))
+                  for f in uniq_feats]
+        feats_arr = jnp.stack(padded)[jnp.asarray(inv)]     # (P, T, D) dev
         return (ids, feats_arr, vis_mask, vis_slot, pos, attn), prompt_lens
 
     # ------------------------------------------------------------------
     # scoring
     # ------------------------------------------------------------------
 
-    def forward(self, images, texts, fps=None,
-                question_template: str = DEFAULT_QWEN_QUESTION,
-                answer_template: str = DEFAULT_QWEN_ANSWER,
-                max_new_tokens: int = 1,
-                temperature: float = 1.0, debug: bool = False, **kw) -> np.ndarray:
+    def forward(self, images, texts, **kw) -> np.ndarray:
+        dev, n = self.forward_device(images, texts, **kw)
+        return np.asarray(dev, np.float32)[:n]
+
+    def forward_device(self, images, texts, fps=None,
+                       question_template: str = DEFAULT_QWEN_QUESTION,
+                       answer_template: str = DEFAULT_QWEN_ANSWER,
+                       max_new_tokens: int = 1,
+                       temperature: float = 1.0, debug: bool = False, **kw):
+        """Async pairwise scoring: (device scores, count) with NO host
+        sync — lets the pipelined batch_forward overlap the next chunk's
+        video decode + vision encode with this chunk's decoder prefill."""
         assert len(images) == len(texts)
         questions = [question_template.format(t) for t in texts]
         answers = [answer_template.format(t) for t in texts]
@@ -310,7 +426,7 @@ class Qwen2VLAdapter(VQAScoreModel):
             jnp.asarray(vis_mask), jnp.asarray(vis_slot), jnp.asarray(pos),
             jnp.asarray(attn), jnp.asarray(ans_ids), jnp.asarray(ans_pos),
             jnp.asarray(ans_mask), temperature=float(temperature))
-        return np.exp(np.asarray(logp, np.float32))
+        return jnp.exp(logp.astype(jnp.float32)), len(images)
 
     def score_matrix(self, images, texts, **kw) -> np.ndarray:
         m, n = len(images), len(texts)

@@ -219,10 +219,14 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             prompt_lens.append(n)
         return (ids, feats_arr, vis_mask, vis_slot, pos, attn), prompt_lens
 
-    def forward(self, images, texts, fps=None,
-                question_template: str = 'Does this figure show "{}"? Please answer Yes or No.',
-                answer_template: str = "Yes", max_new_tokens: int = 1,
-                temperature: float = 1.0, debug: bool = False, **kw) -> np.ndarray:
+    def forward(self, images, texts, **kw) -> np.ndarray:
+        dev, n = self.forward_device(images, texts, **kw)
+        return np.asarray(dev, np.float32)[:n]
+
+    def forward_device(self, images, texts, fps=None,
+                       question_template: str = 'Does this figure show "{}"? Please answer Yes or No.',
+                       answer_template: str = "Yes", max_new_tokens: int = 1,
+                       temperature: float = 1.0, debug: bool = False, **kw):
         # Same batched flow as Qwen2.5-VL, but feats carry deepstack levels:
         # feats_arr rows are (1+n_ds, T, D); split before scoring.
         assert len(images) == len(texts)
@@ -258,7 +262,7 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             jnp.asarray(vis_slot), jnp.asarray(pos), jnp.asarray(attn),
             jnp.asarray(ans_ids), jnp.asarray(ans_pos), jnp.asarray(ans_mask),
             temperature=float(temperature))
-        return np.exp(np.asarray(logp, np.float32))
+        return jnp.exp(logp.astype(jnp.float32)), len(images)
 
     def _split_feats_batched(self, feats):
         # (P, 1+n_ds, T, D) -> main (P, T, D) + deepstack (n_ds, P, T, D)

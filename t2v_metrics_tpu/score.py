@@ -126,22 +126,21 @@ class Score:
                                               media_key, out, num_media,
                                               num_texts, on_drain=on_drain,
                                               **kwargs)
+        from collections import deque
         executor = None
         if use_async and threading_on:
             from concurrent.futures import ThreadPoolExecutor
             executor = ThreadPoolExecutor(max_workers=1)
-        pending = None  # (lo, hi, future-or-(dev, cnt))
+        depth = max(1, int(os.environ.get("T2V_PIPELINE_DEPTH", "3")))
+        pending = deque()  # (lo, hi, future-or-(dev, cnt))
 
-        def _drain():
-            nonlocal pending
-            if pending is not None:
-                plo, phi, res = pending
-                dev, cnt = res.result() if executor is not None else res
-                scores = np.asarray(dev, np.float32)[:cnt]
-                out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
-                pending = None
-                if on_drain is not None:
-                    on_drain(phi)
+        def _drain_one():
+            plo, phi, res = pending.popleft()
+            dev, cnt = res.result() if executor is not None else res
+            scores = np.asarray(dev, np.float32)[:cnt]
+            out[plo:phi] = scores.reshape(phi - plo, num_media, num_texts)
+            if on_drain is not None:
+                on_drain(phi)
 
         try:
             for lo in chunks:
@@ -159,8 +158,9 @@ class Score:
                             res = self.model.forward_device(pair_media,
                                                             pair_text,
                                                             **kwargs)
-                        _drain()
-                        pending = (lo, hi, res)
+                        pending.append((lo, hi, res))
+                        while len(pending) > depth:
+                            _drain_one()
                     else:
                         scores = np.asarray(
                             self.model.forward(pair_media, pair_text,
@@ -172,7 +172,8 @@ class Score:
                     for i, sample in enumerate(samples):
                         out[lo + i] = self.forward(sample[media_key],
                                                    sample["texts"], **kwargs)
-            _drain()
+            while pending:
+                _drain_one()
         finally:
             if executor is not None:
                 executor.shutdown(wait=True)
