@@ -522,13 +522,25 @@ def _flat_head_group(h: int, d: int, bq: int, sk_pad: int,
                      has_bias: bool) -> int | None:
     """Largest legal head group. Blocks are (1, rows, hg*d) slices of the
     (B, S, H*D) array, so hg*d must be a 128-lane multiple (or the full
-    H*D). With a bias, the fp32 bias block (hg, bq, sk_pad) must stay
-    within a VMEM budget."""
+    H*D). The fp32 bias block (hg, bq, sk_pad) — when present — and the
+    kernel's scratch (q/k/v/o blocks double-buffered + two fp32 score
+    tiles + the unrolled per-head accumulators) must stay within Mosaic's
+    scoped-VMEM budget: an unbounded group turns into a compile-time
+    stack OOM (observed at h=32, no bias: 71 MiB > the 64 MiB limit)."""
     candidates = [g for g in range(h, 0, -1)
                   if h % g == 0 and ((g * d) % 128 == 0 or g == h)]
     budget = 16 * 1024 * 1024
     for g in candidates:
-        if not has_bias or g * bq * sk_pad * 4 <= budget:
+        if has_bias and g * bq * sk_pad * 4 > budget:
+            continue
+        # scratch: 4 blocks (q/k/v/o, bf16, double-buffered) + 2 fp32
+        # score tiles (s, s_next) + hg fp32 accumulators (bq, d). The
+        # budget is calibrated against Mosaic's measured stack usage
+        # (h=32/hg=32/no-bias allocates 71 MiB against this estimate's
+        # 30 MiB), not the nominal 64 MiB limit.
+        scratch = (4 * bq * g * d * 2 * 2 + 2 * bq * sk_pad * 4
+                   + g * bq * d * 4)
+        if scratch <= 24 * 1024 * 1024:
             return g
     return None
 
