@@ -164,7 +164,8 @@ def bench_qwen_video(model: str = "qwen2.5-vl-3b", n_videos: int = 24,
             "vision_patches": n_patches, "decoder_seq": seq,
             "flops_per_pair_g": round(fpp / 1e9, 1),
             "mfu": round(pps * fpp / (peak * 1e12), 3),
-            "note": "e2e incl. native libav decode + host resize; "
+            "note": "e2e incl. native libav decode; resize/normalize/"
+                    "patchify run on-device from raw uint8 frames; "
                     "reference runs this per-pair on GPU (~0.5-1 pair/s "
                     "A100 class for short clips)"}
 
