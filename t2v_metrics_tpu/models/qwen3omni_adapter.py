@@ -56,6 +56,15 @@ def load_audio_mel(path, cfg: qa.AudioEncoderConfig) -> np.ndarray:
             audio = np.interp(idx, np.arange(len(audio)),
                               audio).astype(np.float32)
 
+    import os
+
+    if os.environ.get("T2V_DEVICE_MEL", "1") == "1" and len(audio) >= 400:
+        try:  # DFT-as-matmul log-mel on the TPU (qwen3omni_audio.py)
+            return qa.log_mel_device(np.asarray(audio, np.float32),
+                                     n_mels=cfg.num_mel_bins)
+        except Exception:  # pragma: no cover — host fallback below
+            pass
+
     from transformers import WhisperFeatureExtractor
 
     fe = WhisperFeatureExtractor(feature_size=cfg.num_mel_bins,

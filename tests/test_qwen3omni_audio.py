@@ -55,3 +55,21 @@ def test_geometry():
 # full-fidelity suite: run with plain `pytest`; the quick tier
 # (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
 pytestmark = pytest.mark.slow
+
+
+def test_log_mel_device_parity():
+    """Device DFT-as-matmul log-mel vs WhisperFeatureExtractor
+    (the host path qwen3omni_adapter.load_audio_mel falls back to).
+    Reference mel front-end: qwen_omni_utils audio load + Whisper fbank."""
+    from transformers import WhisperFeatureExtractor
+
+    rng = np.random.default_rng(7)
+    for n_sec in (0.5, 2.3):
+        audio = (rng.standard_normal(int(16000 * n_sec)) * 0.1).astype(np.float32)
+        dev = qa.log_mel_device(audio, n_mels=128)
+        fe = WhisperFeatureExtractor(feature_size=128, sampling_rate=16000,
+                                     hop_length=160, chunk_length=30, n_fft=400)
+        ref = fe(audio, sampling_rate=16000, padding=False,
+                 return_tensors="np")["input_features"][0]
+        assert dev.shape == ref.shape
+        np.testing.assert_allclose(dev, ref, atol=5e-4)
