@@ -185,10 +185,13 @@ def encode(params: Params, cfg: T5Config, input_embeds: jnp.ndarray,
         cfg.num_buckets, cfg.max_distance)
     rel_cfg = (True, cfg.num_buckets, cfg.max_distance, 0)
     rb = rel_emb.T if INKERNEL_REL_BIAS else None
-    x = input_embeds
+    # sequence-parallel annotation hooks (no-ops off an "sp" mesh):
+    # GSPMD shards norms/MLP along S and all-gathers only around attention
+    from ..parallel.sp import shard_seq
+    x = shard_seq(input_embeds)
     for blk in enc["blocks"]:
-        x = _enc_block(blk, x, cfg, bias, mask,
-                       rel_bias=rb, rel_cfg=rel_cfg)
+        x = shard_seq(_enc_block(blk, x, cfg, bias, mask,
+                                 rel_bias=rb, rel_cfg=rel_cfg))
     return L.rms_norm(x, enc["ln_final"]["scale"], cfg.eps)
 
 

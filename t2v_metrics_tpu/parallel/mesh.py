@@ -23,27 +23,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: int = 1, tp: int | None = None, devices=None,
-              ep: int = 1) -> Mesh:
-    """Create a (dp, tp) mesh — or (dp, ep, tp) when ``ep > 1``.
+              ep: int = 1, sp: int = 1) -> Mesh:
+    """Create a (dp, tp) mesh — with optional ``sp`` / ``ep`` axes in
+    between: ("dp"[, "sp"][, "ep"], "tp").
 
     tp=None uses all remaining devices. The ``ep`` axis carries expert
     parallelism for MoE checkpoints (qwen3-vl-30b-a3b / 235b-a22b,
     reference qwen3vl_model.py:28-45): the packed expert tensors shard
     their leading E axis over ep while dense weights shard over tp, so a
     235B MoE spreads experts across chips without fragmenting the dense
-    matmuls. ep sits between dp and tp so expert all-reduces ride the
-    inner (faster) ICI dimension together with tp collectives.
+    matmuls. The ``sp`` axis carries sequence parallelism for long-context
+    activations (see parallel/sp.py). Both sit between dp and tp so their
+    collectives ride the inner (faster) ICI dimensions together with tp.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if tp is None:
-        tp = n // (dp * ep)
-    assert dp * ep * tp <= n, f"mesh {dp}x{ep}x{tp} > {n} devices"
-    if ep > 1:
-        arr = np.asarray(devices[: dp * ep * tp]).reshape(dp, ep, tp)
-        return Mesh(arr, ("dp", "ep", "tp"))
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        tp = n // (dp * ep * sp)
+    assert dp * sp * ep * tp <= n, f"mesh {dp}x{sp}x{ep}x{tp} > {n} devices"
+    shape = [dp] + ([sp] if sp > 1 else []) + ([ep] if ep > 1 else []) + [tp]
+    names = ["dp"] + (["sp"] if sp > 1 else []) + \
+        (["ep"] if ep > 1 else []) + ["tp"]
+    arr = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(arr, tuple(names))
 
 
 def initialize_distributed(coordinator_address: str | None = None,
