@@ -177,11 +177,11 @@ def main():
                          "JSON (used as a subprocess by the full bench so "
                          "the video model gets a fresh chip HBM)")
     ap.add_argument("--model", default="clip-flant5-xl")
-    ap.add_argument("--samples", type=int, default=1536,
+    ap.add_argument("--samples", type=int, default=2048,
                     help="dataset samples per pass (1 image x 1 text each)")
     ap.add_argument("--chunk", type=int, default=128,
                     help="batch_forward batch size = engine chunk")
-    ap.add_argument("--iters", type=int, default=2,
+    ap.add_argument("--iters", type=int, default=3,
                     help="passes; all passes stream through ONE pipelined "
                          "batch_forward call, pass boundaries timestamped "
                          "at drain time")

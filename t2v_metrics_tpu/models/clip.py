@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import layers as L
-from ..ops.attention import attention_flat
+from ..ops.attention import attention_flat_packed
 from ..ops.image import patchify, patchify_flat, patch_perm
 
 Params = Any  # nested dict pytree
@@ -149,11 +149,17 @@ def _block(p: Params, x: jnp.ndarray, heads: int, eps: float, act: str,
     h = L.layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], eps)
     # Head-major attention: the flat flash kernel consumes/produces the
     # (B, S, H*D) projection layout directly — no split_heads/merge_heads
-    # transpose copies (profiled ~25% of ViT encode time on v5e).
-    q = L.linear(h, p["attn"]["q"]["w"], p["attn"]["q"]["b"])
-    k = L.linear(h, p["attn"]["k"]["w"], p["attn"]["k"]["b"])
-    v = L.linear(h, p["attn"]["v"]["w"], p["attn"]["v"]["b"])
-    a = attention_flat(q, k, v, heads, causal=causal, kv_mask=kv_mask)
+    # transpose copies (profiled ~25% of ViT encode time on v5e). The
+    # q/k/v projections run as ONE packed width->3*width matmul (better
+    # MXU efficiency than three narrow ones); the flash kernel reads the
+    # packed output in place via lane-offset views.
+    w_qkv = jnp.concatenate(
+        [p["attn"]["q"]["w"], p["attn"]["k"]["w"], p["attn"]["v"]["w"]],
+        axis=1)
+    b_qkv = jnp.concatenate(
+        [p["attn"]["q"]["b"], p["attn"]["k"]["b"], p["attn"]["v"]["b"]])
+    a = attention_flat_packed(L.linear(h, w_qkv, b_qkv), heads,
+                              causal=causal, kv_mask=kv_mask)
     x = x + L.linear(a, p["attn"]["o"]["w"], p["attn"]["o"]["b"])
     h = L.layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], eps)
     h = L.ACT_FNS[act](L.linear(h, p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"]))

