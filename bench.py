@@ -157,7 +157,16 @@ def bench_qwen_video(model: str = "qwen2.5-vl-3b", n_videos: int = 24,
     seq = arrays[0].shape[1]
     fpp = qwen_video_flops_per_pair(ad.config, n_patches, seq)
     peak = _peak_tflops(jax.devices()[0])
+
+    # host-decode share: native libav decode + fps sampling alone (no
+    # device work) — locates the e2e bottleneck between host and chip
+    t0 = time.perf_counter()
+    for p in paths[:n_videos]:
+        ad._decode_video_raw(p, ad.fps_default)
+    decode_ms = (time.perf_counter() - t0) * 1000 / n_videos
+
     return {"model": model,
+            "host_decode_ms_per_video": round(decode_ms, 1),
             "pairs_per_sec_per_chip": round(pps, 3),
             "n_videos": n_videos, "batch": batch,
             "video": "320x240x16f MKV, fps-sampled",
