@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention, attention_flat
+from ..ops.attention import (attention, attention_flat,
+                             attention_flat_packed)
 
 Params = Any
 
@@ -147,13 +148,45 @@ def apply_rope_bshd(x: jnp.ndarray, cos: jnp.ndarray,
 def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
           cache_pos=None, local_window=None, bidir_ids=None):
     b, s, _ = x.shape
+    h, kvh, d = cfg.heads, cfg.kv_heads, cfg.head_dim
+    scale = cfg.q_scale if cfg.q_scale is not None else None
+
+    if cache_layer is None:
+        # Prefill: ONE packed qkv matmul — the narrow GQA k/v projections
+        # (kvh*d lanes) are MXU-inefficient on their own; packed they ride
+        # the wide q matmul. qk-norm and rope are per-(position, head), so
+        # they apply to the q|k lane region of the packed (B,S,H+KvH,D)
+        # view in one fused elementwise pass; the flash kernel then reads
+        # q/k/v as lane-offset views with no slice copies
+        # (ops/attention.py flash_attention_flat_packed).
+        w_qkv = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]],
+                                axis=1)
+        bs_ = [p["q"].get("b"), p["k"].get("b"), p["v"].get("b")]
+        b_qkv = (jnp.concatenate(bs_)
+                 if all(bb is not None for bb in bs_) else None)
+        packed = L.linear(x, w_qkv, b_qkv)
+        qk = packed[..., : (h + kvh) * d].reshape(b, s, h + kvh, d)
+        if cfg.qk_norm:
+            sc = jnp.concatenate(
+                [jnp.broadcast_to(p["q_norm"]["scale"], (h, d)),
+                 jnp.broadcast_to(p["k_norm"]["scale"], (kvh, d))])
+            qk = L.rms_norm(qk, sc, cfg.rms_eps, offset=cfg.rms_offset,
+                            cast_weight_dtype=cfg.rms_cast_weight)
+        qk = apply_rope_bshd(qk, cos, sin)
+        pk = jnp.concatenate(
+            [qk.reshape(b, s, -1), packed[..., (h + kvh) * d:]], axis=-1)
+        out = attention_flat_packed(pk, h, kv_heads=kvh, kv_mask=mask,
+                                    causal=True, scale=scale,
+                                    local_window=local_window,
+                                    bidir_ids=bidir_ids)
+        return L.linear(out, p["o"]["w"], p["o"].get("b")), None
+
     q = L.linear(x, p["q"]["w"], p["q"].get("b"))
     k = L.linear(x, p["k"]["w"], p["k"].get("b"))
     v = L.linear(x, p["v"]["w"], p["v"].get("b"))
     # Head-major (B, S, H, D): free bitcast of the projection output.
     # Norms + rope are per-(position, head) so they apply in this layout;
-    # the prefill path then feeds the flat flash kernel with NO transpose
-    # copies (and GQA k/v stay at kv_heads width — no jnp.repeat).
+    # GQA k/v stay at kv_heads width (no jnp.repeat).
     q = q.reshape(b, s, cfg.heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.kv_heads, cfg.head_dim)
     if cfg.qk_norm:
@@ -165,14 +198,6 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
                        cast_weight_dtype=cfg.rms_cast_weight)
     q = apply_rope_bshd(q, cos, sin)
     k = apply_rope_bshd(k, cos, sin)
-
-    scale = cfg.q_scale if cfg.q_scale is not None else None
-    if cache_layer is None:
-        out = attention_flat(q.reshape(b, s, -1), k.reshape(b, s, -1), v,
-                             cfg.heads, kv_heads=cfg.kv_heads, kv_mask=mask,
-                             causal=True, scale=scale,
-                             local_window=local_window, bidir_ids=bidir_ids)
-        return L.linear(out, p["o"]["w"], p["o"].get("b")), None
 
     # Flat KV cache: (B, max_len, kv_heads*D) — the projections' native
     # layout, so appending is a plain dynamic_update_slice (no transpose

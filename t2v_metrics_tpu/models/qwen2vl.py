@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
-from ..ops.attention import attention_flat
+from ..ops.attention import attention_flat, attention_flat_packed
 from . import decoder as dec
 
 Params = Any
@@ -296,18 +296,23 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
     for i, blk in enumerate(params["blocks"]):
         seg = full_seg if i in cfg.fullatt_block_indexes else win_seg
         h = L.rms_norm(x, blk["ln1"]["scale"], cfg.rms_eps)
-        q = L.linear(h, blk["attn"]["q"]["w"], blk["attn"]["q"]["b"])
-        k = L.linear(h, blk["attn"]["k"]["w"], blk["attn"]["k"]["b"])
-        v = L.linear(h, blk["attn"]["v"]["w"], blk["attn"]["v"]["b"])
-        b, s, _ = q.shape
-        # head-major layout: free bitcast reshapes around the flat flash
-        # kernel, no (B,H,S,D) transpose copies (see ops/attention.py)
-        q = dec.apply_rope_bshd(q.reshape(b, s, cfg.heads, cfg.head_dim),
-                                cos, sin)
-        k = dec.apply_rope_bshd(k.reshape(b, s, cfg.heads, cfg.head_dim),
-                                cos, sin)
-        a = attention_flat(q.reshape(b, s, -1), k.reshape(b, s, -1), v,
-                           cfg.heads, segment_ids=seg)
+        # ONE packed qkv matmul; rope applies to the q|k lane region of
+        # the packed (B,S,2H,D) view in a single fused elementwise pass,
+        # and the flash kernel reads q/k/v as lane-offset views — no
+        # slice copies, no (B,H,S,D) transposes (see ops/attention.py)
+        w_qkv = jnp.concatenate([blk["attn"]["q"]["w"], blk["attn"]["k"]["w"],
+                                 blk["attn"]["v"]["w"]], axis=1)
+        b_qkv = jnp.concatenate([blk["attn"]["q"]["b"], blk["attn"]["k"]["b"],
+                                 blk["attn"]["v"]["b"]])
+        packed = L.linear(h, w_qkv, b_qkv)
+        b, s, _ = packed.shape
+        hd = cfg.heads * cfg.head_dim
+        qk = dec.apply_rope_bshd(
+            packed[..., : 2 * hd].reshape(b, s, 2 * cfg.heads, cfg.head_dim),
+            cos, sin)
+        pk = jnp.concatenate([qk.reshape(b, s, -1), packed[..., 2 * hd:]],
+                             axis=-1)
+        a = attention_flat_packed(pk, cfg.heads, segment_ids=seg)
         x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         h = L.rms_norm(x, blk["ln2"]["scale"], cfg.rms_eps)
         h = (L.ACT_FNS["silu"](L.linear(h, blk["mlp"]["gate"]["w"], blk["mlp"]["gate"]["b"]))
