@@ -136,8 +136,17 @@ def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
                                       kv_mask=kv_mask, causal=causal,
                                       scale=1.0)
         else:
-            a = attention_flat(x @ p["q"]["w"], kv @ p["k"]["w"],
-                               kv @ p["v"]["w"], heads, bias=bias,
+            # cross-attention: pack k|v into one d_model -> 2*inner matmul
+            # (the enc-side projections are the decoder's biggest matmuls;
+            # one wide op beats two narrow ones on the MXU). The q side is
+            # tiny (A=4 rows) and the kernel path here is the reference
+            # one, so the k/v lane slices below are cheap relative to the
+            # projection win.
+            w_kv = jnp.concatenate([p["k"]["w"], p["v"]["w"]], axis=1)
+            kvp = kv @ w_kv
+            inner = p["k"]["w"].shape[1]
+            a = attention_flat(x @ p["q"]["w"], kvp[..., :inner],
+                               kvp[..., inner:], heads, bias=bias,
                                kv_mask=kv_mask, causal=causal, scale=1.0)
         return a @ p["o"]["w"]
     q = L.split_heads(x @ p["q"]["w"], heads)
