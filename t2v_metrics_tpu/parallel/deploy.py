@@ -85,6 +85,43 @@ def aot_scoring_memory(cfg, devices, tp: int, *, dtype=jnp.bfloat16,
             "params_total": total}
 
 
+def aot_qwen_scoring_memory(cfg, devices, tp: int, *, dtype=jnp.bfloat16,
+                            b: int = 4, S: int = 1024, T: int = 256,
+                            A: int = 4) -> dict:
+    """AOT-lower the Qwen2.5-VL decoder scoring step (splice_and_score —
+    the memory-dominant program of BASELINE config 4) over a (1, tp) mesh
+    with abstract sharded weights; returns per-device bytes like
+    `aot_scoring_memory`. The vision tower is a ~0.7 GiB bf16 add-on and
+    is accounted in params_total but not lowered (its activations are
+    far below the decoder prefill's)."""
+    from ..models import qwen2vl as q2
+
+    shapes = jax.eval_shape(
+        lambda k: q2.init_qwen2vl(k, cfg, dtype=dtype), jax.random.PRNGKey(0))
+    total = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(shapes))
+    mesh = Mesh(np.asarray(devices[:tp]).reshape(1, tp), ("dp", "tp"))
+    specs = pmesh.partition_specs(shapes)
+    p_abs = jax.tree.map(
+        lambda x, s: None if x is None else jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
+        shapes, specs, is_leaf=lambda x: x is None)
+    repl = NamedSharding(mesh, P())
+    sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=repl)
+    compiled = jax.jit(
+        lambda p, *a: q2.splice_and_score(p, cfg, *a)).lower(
+        p_abs,
+        sds((b, S), jnp.int32),
+        sds((b, T, cfg.text.d_model), dtype),
+        sds((b, S), jnp.bool_), sds((b, S), jnp.int32),
+        sds((3, b, S), jnp.int32), sds((b, S), jnp.bool_),
+        sds((b, A), jnp.int32), sds((b, A), jnp.int32),
+        sds((b, A), jnp.float32)).compile()
+    ma = compiled.memory_analysis()
+    return {"args": ma.argument_size_in_bytes,
+            "temps": ma.temp_size_in_bytes,
+            "params_total": total}
+
+
 def xxl_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
                       budget_gib: float = V5E_HBM_BUDGET_GIB) -> list[dict]:
     """Per-device HBM report for clip-flant5-xxl at each TP slice size.
@@ -96,6 +133,22 @@ def xxl_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
     from ..models.adapters import CLIP_T5_MODELS
 
     cfg = CLIP_T5_MODELS["clip-flant5-xxl"]["config"]
+    return _deploy_report(cfg, aot_scoring_memory, tp_sizes, topology_name,
+                          budget_gib)
+
+
+def qwen7b_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
+                         budget_gib: float = V5E_HBM_BUDGET_GIB) -> list[dict]:
+    """Per-device HBM report for qwen2.5-vl-7b (BASELINE config 4's
+    registry default) at each TP slice size."""
+    from ..models.qwen2vl import QWEN2_VL_MODELS
+
+    cfg = QWEN2_VL_MODELS["qwen2.5-vl-7b"]["config"]
+    return _deploy_report(cfg, aot_qwen_scoring_memory, tp_sizes,
+                          topology_name, budget_gib)
+
+
+def _deploy_report(cfg, aot_fn, tp_sizes, topology_name, budget_gib):
     try:
         from jax.experimental import topologies
         devices = topologies.get_topology_desc(
@@ -110,7 +163,7 @@ def xxl_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
         if len(devices) < tp:
             out.append({"tp": tp, "skipped": f"only {len(devices)} devices"})
             continue
-        m = aot_scoring_memory(cfg, devices, tp)
+        m = aot_fn(cfg, devices, tp)
         per_dev = m["args"] + m["temps"]
         if backend == "cpu-fallback":
             # CPU matmuls upcast every bf16 weight to fp32 (2x bf16 bytes
@@ -131,18 +184,22 @@ def xxl_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
 
 
 def main():
-    for rec in xxl_deploy_report():
-        if "skipped" in rec:
-            print(f"deploy_plan clip-flant5-xxl tp={rec['tp']}: skipped "
-                  f"({rec['skipped']})")
-            continue
-        print(f"deploy_plan clip-flant5-xxl tp={rec['tp']} "
-              f"[{rec['backend']}]: params {rec['params_gib']:.1f} GiB bf16, "
-              f"per-device HBM {rec['per_device_gib_tpu_estimate']:.2f} GiB "
-              f"(args {rec['args_gib']:.2f} + temps {rec['temps_gib']:.2f}"
-              f"{' raw, cpu fp32-copy artifact adjusted out' if rec['backend'] == 'cpu-fallback' else ''}) — "
-              f"{'fits' if rec['fits_v5e'] else 'DOES NOT FIT'} 16 GiB v5e")
-        assert rec["fits_v5e"]
+    for label, report in (("clip-flant5-xxl", xxl_deploy_report),
+                          ("qwen2.5-vl-7b", qwen7b_deploy_report)):
+        for rec in report():
+            if "skipped" in rec:
+                print(f"deploy_plan {label} tp={rec['tp']}: skipped "
+                      f"({rec['skipped']})")
+                continue
+            print(f"deploy_plan {label} tp={rec['tp']} "
+                  f"[{rec['backend']}]: params {rec['params_gib']:.1f} GiB "
+                  f"bf16, per-device HBM "
+                  f"{rec['per_device_gib_tpu_estimate']:.2f} GiB "
+                  f"(args {rec['args_gib']:.2f} + temps {rec['temps_gib']:.2f}"
+                  f"{' raw, cpu fp32-copy artifact adjusted out' if rec['backend'] == 'cpu-fallback' else ''}) — "
+                  f"{'fits' if rec['fits_v5e'] else 'DOES NOT FIT'} "
+                  f"16 GiB v5e")
+            assert rec["fits_v5e"]
 
 
 if __name__ == "__main__":

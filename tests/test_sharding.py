@@ -253,3 +253,23 @@ def test_xxl_tp_aot_compiles_and_fits_v5e(tp):
 # full-fidelity suite: run with plain `pytest`; the quick tier
 # (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
 pytestmark = pytest.mark.slow
+
+
+@pytest.mark.parametrize("tp", [4, 8])
+def test_qwen7b_tp_aot_compiles_and_fits_v5e(tp):
+    """qwen2.5-vl-7b (BASELINE config 4's registry default — reference
+    qwen2vl_model.py:47-91) AOT-compiles TP-sharded with abstract weights
+    and its per-device footprint fits a 16 GiB v5e at tp=4 and tp=8: the
+    deploy plan for the model the single-chip bench substitutes with 3b
+    (whose bf16 weights alone exceed one chip). Same CPU-backend fp32
+    temp-copy adjustment as the xxl check."""
+    from t2v_metrics_tpu.models.qwen2vl import QWEN2_VL_MODELS
+    from t2v_metrics_tpu.parallel import deploy
+
+    cfg = QWEN2_VL_MODELS["qwen2.5-vl-7b"]["config"]
+    m = deploy.aot_qwen_scoring_memory(cfg, jax.devices(), tp)
+    total = m["params_total"]
+    assert total > 14 * 2**30  # ~8.3B params bf16 incl. vision tower
+    assert m["args"] < total / tp * 1.6, m["args"]
+    tpu_est = m["args"] + max(0, m["temps"] - 2 * m["args"])
+    assert tpu_est < 15 * 2**30, f"{tpu_est/2**30:.2f} GiB > v5e budget"
