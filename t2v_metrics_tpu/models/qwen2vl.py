@@ -209,12 +209,33 @@ def vision_geometry(grid_thw: tuple, cfg: QwenVisionConfig):
     # per-patch window segment ids (window order)
     win_seg = np.repeat(np.arange(len(seqlens)), seqlens * mu)
 
+    # dense-window layout: windows are contiguous runs of <= ws*ws*mu
+    # patch rows in window order, so the 28-of-32 windowed layers can
+    # gather rows into a uniform (NW, ws*ws*mu) tile, run tiny dense
+    # attention per window, and scatter back — instead of full-S^2 flash
+    # with segment masking (which wastes ~98% of attention FLOPs+VPU at
+    # video sizes: window 64 of S~3000).
+    counts = (seqlens * mu).astype(np.int64)           # patches per window
+    cap = ws * ws * mu                                 # window capacity
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    j = np.arange(cap)
+    win_gather = (starts[:, None]
+                  + np.minimum(j[None, :], counts[:, None] - 1)).reshape(-1)
+    win_valid = (j[None, :] < counts[:, None]).reshape(-1)
+    S = int(counts.sum())
+    win_scatter = (np.repeat(np.arange(len(counts)) * cap, counts)
+                   + (np.arange(S) - np.repeat(starts, counts)))
+
     reverse = np.argsort(window_index)
     return {
         "perm": perm.astype(np.int32),
         "reverse": reverse.astype(np.int32),
         "pos_hw": pos_hw[perm].astype(np.int32),
         "win_seg": win_seg.astype(np.int32),
+        "win_gather": win_gather.astype(np.int32),
+        "win_valid": win_valid,
+        "win_scatter": win_scatter.astype(np.int32),
+        "win_cap": cap,
     }
 
 
@@ -263,10 +284,17 @@ def vision_tower(params: Params, cfg: QwenVisionConfig,
                  win_seg: jnp.ndarray,      # (S,) window segment ids, -1 = pad
                  full_seg: jnp.ndarray,     # (S,) image segment ids, -1 = pad
                  reverse: jnp.ndarray,      # (S/mu,) un-permutation
+                 win_gather: jnp.ndarray | None = None,
+                 win_valid: jnp.ndarray | None = None,
+                 win_scatter: jnp.ndarray | None = None,
                  ) -> jnp.ndarray:
     """-> (S/merge_unit, out_hidden) merged features in original order."""
+    wg = None if win_gather is None else win_gather[None]
+    wv = None if win_valid is None else win_valid[None]
+    ws_ = None if win_scatter is None else win_scatter[None]
     return vision_tower_batch(params, cfg, patches[None], pos_hw[None],
-                              win_seg[None], full_seg[None], reverse[None])[0]
+                              win_seg[None], full_seg[None], reverse[None],
+                              wg, wv, ws_)[0]
 
 
 def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
@@ -275,6 +303,9 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
                        win_seg: jnp.ndarray,    # (B, S) segs, -1 = pad
                        full_seg: jnp.ndarray,   # (B, S) segs, -1 = pad
                        reverse: jnp.ndarray,    # (B, S/mu) un-permutation
+                       win_gather: jnp.ndarray | None = None,  # (B, NW*cap)
+                       win_valid: jnp.ndarray | None = None,   # (B, NW*cap)
+                       win_scatter: jnp.ndarray | None = None,  # (B, S)
                        ) -> jnp.ndarray:
     """Batched variant: B same-shape visuals through one call.
 
@@ -293,8 +324,11 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
     emb = jnp.concatenate([freqs, freqs], axis=-1)         # (B, S, head_dim)
     cos, sin = jnp.cos(emb), jnp.sin(emb)                  # (B, S, D)
 
+    cap = (cfg.window_size // cfg.merge_size // cfg.patch_size) ** 2 \
+        * cfg.merge_unit
     for i, blk in enumerate(params["blocks"]):
-        seg = full_seg if i in cfg.fullatt_block_indexes else win_seg
+        full = i in cfg.fullatt_block_indexes
+        seg = full_seg if full else win_seg
         h = L.rms_norm(x, blk["ln1"]["scale"], cfg.rms_eps)
         # ONE packed qkv matmul; rope applies to the q|k lane region of
         # the packed (B,S,2H,D) view in a single fused elementwise pass,
@@ -312,7 +346,23 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
             cos, sin)
         pk = jnp.concatenate([qk.reshape(b, s, -1), packed[..., 2 * hd:]],
                              axis=-1)
-        a = attention_flat_packed(pk, cfg.heads, segment_ids=seg)
+        if not full and win_gather is not None:
+            # dense-window attention: windows are contiguous runs of
+            # <= cap rows in window order, so gather the rope'd packed
+            # rows into uniform (B*NW, cap) tiles, attend densely inside
+            # each window (tiny exact attention, no S^2 score tile), and
+            # scatter back. At video sizes the segment-masked full-S
+            # path computes ~50x more attention FLOPs than these tiles.
+            nw = win_gather.shape[1] // cap
+            g = jnp.take(pk, win_gather[0], axis=1)       # (B, NW*cap, 3HD)
+            g = g.reshape(b * nw, cap, pk.shape[-1])
+            km = jnp.broadcast_to(win_valid[:1].reshape(1, nw, cap),
+                                  (b, nw, cap)).reshape(b * nw, cap)
+            aw = attention_flat_packed(g, cfg.heads, kv_mask=km)
+            a = jnp.take(aw.reshape(b, nw * cap, -1), win_scatter[0],
+                         axis=1)
+        else:
+            a = attention_flat_packed(pk, cfg.heads, segment_ids=seg)
         x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
         h = L.rms_norm(x, blk["ln2"]["scale"], cfg.rms_eps)
         h = (L.ACT_FNS["silu"](L.linear(h, blk["mlp"]["gate"]["w"], blk["mlp"]["gate"]["b"]))

@@ -48,6 +48,37 @@ def _bucket(n, buckets):
     return ((n + 255) // 256) * 256
 
 
+# dense-window ViT attention (gather windows into uniform tiles instead of
+# segment-masked full-S^2 flash — see qwen2vl.vision_tower_batch).
+# T2V_QWEN_WIN_DENSE=0 restores the segment-mask path.
+import os as _os
+WIN_DENSE = _os.environ.get("T2V_QWEN_WIN_DENSE", "1") == "1"
+
+
+def _padded_windows(geom, s, sb):
+    """Pad the dense-window gather/scatter arrays: the window count to a
+    multiple of 8 (bounds compile variants per patch bucket) and the
+    scatter map to the padded patch bucket (pad rows read slot 0 —
+    garbage rows beyond s are dropped downstream). Returns None when the
+    dense-window path is disabled."""
+    if not WIN_DENSE:
+        return None
+    cap = geom["win_cap"]
+    nw = len(geom["win_gather"]) // cap
+    nwp = -(-nw // 8) * 8
+    extra = (nwp - nw) * cap
+    wg = np.concatenate([geom["win_gather"],
+                         np.zeros(extra, np.int32)]) if extra \
+        else geom["win_gather"]
+    wv = np.concatenate([geom["win_valid"],
+                         np.zeros(extra, bool)]) if extra \
+        else geom["win_valid"]
+    wsc = np.concatenate([geom["win_scatter"],
+                          np.zeros(sb - s, np.int32)]) if sb > s \
+        else geom["win_scatter"]
+    return wg, wv, wsc
+
+
 class Qwen2VLAdapter(VQAScoreModel):
     video_mode = "direct"
     allows_image = True
@@ -87,9 +118,9 @@ class Qwen2VLAdapter(VQAScoreModel):
 
         cfg_v = cfg.vision
         self._vision_jit = jax.jit(
-            lambda p, patches, pos_hw, win_seg, full_seg, reverse:
+            lambda p, patches, pos_hw, win_seg, full_seg, reverse, *win:
             q.vision_tower(p["vision"], cfg_v, patches, pos_hw, win_seg,
-                           full_seg, reverse))
+                           full_seg, reverse, *win))
         self._score_jit = jax.jit(
             lambda p, *a, temperature: q.splice_and_score(
                 p, cfg, *a, temperature=temperature),
@@ -160,9 +191,12 @@ class Qwen2VLAdapter(VQAScoreModel):
             import ml_dtypes
 
             patches_w = patches_w.astype(ml_dtypes.bfloat16)
+        win = _padded_windows(geom, s, sb)
+        wina = [] if win is None else [jnp.asarray(w) for w in win]
         feats = self._vision_jit(self.params, jnp.asarray(patches_w),
                                  jnp.asarray(pos_hw), jnp.asarray(win_seg),
-                                 jnp.asarray(full_seg), jnp.asarray(reverse))
+                                 jnp.asarray(full_seg), jnp.asarray(reverse),
+                                 *wina)
         return feats[: s // mu], grid, is_video, spg_t
 
     def _encode_visuals(self, visuals, fps=None):
@@ -226,7 +260,8 @@ class Qwen2VLAdapter(VQAScoreModel):
             reverse = np.concatenate([geom["reverse"],
                                       np.arange(s // mu, sb // mu,
                                                 dtype=np.int32)])
-            return geom, pos_hw, win_seg, full_seg, reverse
+            return (geom, pos_hw, win_seg, full_seg, reverse,
+                    _padded_windows(geom, s, sb))
 
         mu = cfg.vision.merge_unit
         for (kind, shape), idxs in groups.items():
@@ -242,24 +277,28 @@ class Qwen2VLAdapter(VQAScoreModel):
                         wb // cfg.vision.patch_size)
                 s = int(np.prod(grid))
                 sb = _bucket(s, PATCH_BUCKETS)
-                geom, pos_hw, win_seg, full_seg, reverse = _padded_geom(
-                    grid, s, sb)
+                geom, pos_hw, win_seg, full_seg, reverse, win = \
+                    _padded_geom(grid, s, sb)
                 stack = np.stack([hosts[i][1] for i in idxs]) \
                     .reshape(n, t, h0, w0 * 3)
+                wina = [] if win is None else [
+                    jnp.asarray(np.broadcast_to(w, (n, *w.shape)))
+                    for w in win]
                 feats = self._video_feats_jit(shape, hb, wb, grid, sb, wd)(
                     self.params, jnp.asarray(stack),
                     jnp.asarray(geom["perm"]),
                     jnp.asarray(np.broadcast_to(pos_hw, (n, *pos_hw.shape))),
                     jnp.asarray(np.broadcast_to(win_seg, (n, sb))),
                     jnp.asarray(np.broadcast_to(full_seg, (n, sb))),
-                    jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))))
+                    jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))),
+                    *wina)
                 for row, i in enumerate(idxs):
                     out[i] = (feats[row, : s // mu], grid, True, hosts[i][2])
                 continue
             grid = hosts[idxs[0]][2]
             s = shape[0]
             sb = _bucket(s, PATCH_BUCKETS)
-            geom, pos_hw, win_seg, full_seg, reverse = _padded_geom(
+            geom, pos_hw, win_seg, full_seg, reverse, win = _padded_geom(
                 grid, s, sb)
             pad = sb - s
             stack = np.stack([hosts[i][1][geom["perm"]] for i in idxs])
@@ -270,12 +309,15 @@ class Qwen2VLAdapter(VQAScoreModel):
                 import ml_dtypes
 
                 stack = stack.astype(ml_dtypes.bfloat16)
+            wina = [] if win is None else [
+                jnp.asarray(np.broadcast_to(w, (n, *w.shape))) for w in win]
             feats = self._vision_batch_jit(
                 self.params, jnp.asarray(stack),
                 jnp.asarray(np.broadcast_to(pos_hw, (n, *pos_hw.shape))),
                 jnp.asarray(np.broadcast_to(win_seg, (n, sb))),
                 jnp.asarray(np.broadcast_to(full_seg, (n, sb))),
-                jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))))
+                jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))),
+                *wina)
             for row, i in enumerate(idxs):
                 out[i] = (feats[row, : s // mu], grid, False, 0.0)
         return out
@@ -300,7 +342,8 @@ class Qwen2VLAdapter(VQAScoreModel):
         gt, gh, gw = grid
         s = gt * gh * gw
 
-        def fn(params, frames_u8, perm, pos_hw, win_seg, full_seg, reverse):
+        def fn(params, frames_u8, perm, pos_hw, win_seg, full_seg, reverse,
+               *win):
             x = frames_u8.astype(jnp.float32)        # (n, T, H0, W0*3)
             x = jimage.resize_flat(x, hb, wb, 3)
             # host parity: PIL emits uint8 after its fixed-point bicubic
@@ -316,7 +359,8 @@ class Qwen2VLAdapter(VQAScoreModel):
                 flat = jnp.pad(flat, ((0, 0), (0, sb - s), (0, 0)))
             flat = flat.astype(wd)
             return q.vision_tower_batch(params["vision"], cfg.vision, flat,
-                                        pos_hw, win_seg, full_seg, reverse)
+                                        pos_hw, win_seg, full_seg, reverse,
+                                        *win)
 
         cache[key] = jax.jit(fn)
         return cache[key]

@@ -157,3 +157,43 @@ def test_splice_and_score_matches_hf_loss(setup):
 # full-fidelity suite: run with plain `pytest`; the quick tier
 # (`pytest -m 'not slow'`, ~2 min) covers the API/data/ops layers
 pytestmark = pytest.mark.slow
+
+
+def test_dense_window_path_matches_segment_path():
+    """The gather/scatter dense-window attention (vision_tower_batch
+    win_gather path) must agree with the segment-masked full-S path on a
+    RAGGED grid (edge windows smaller than the window capacity)."""
+    import jax
+    import jax.numpy as jnp
+    from t2v_metrics_tpu.models import qwen2vl as q
+    from t2v_metrics_tpu.models.qwen2vl_adapter import _padded_windows, _bucket
+
+    cfg = q.QWEN2_VL_MODELS["qwen2.5-vl-test"]["config"].vision
+    params = q.init_qwen2vl(
+        jax.random.PRNGKey(3),
+        q.QWEN2_VL_MODELS["qwen2.5-vl-test"]["config"], jnp.float32)["vision"]
+    # grid 6x10 merged -> 3x5 merged tokens... choose a grid whose merged
+    # dims are NOT multiples of ws=2: llm_h=3, llm_w=5 -> ragged windows
+    grid = (1, 6, 10)
+    s = int(np.prod(grid))
+    geom = q.vision_geometry(grid, cfg)
+    rng = np.random.default_rng(7)
+    patches = rng.standard_normal((s, cfg.patch_dim)).astype(np.float32)
+    pw = patches[geom["perm"]]
+    full_seg = np.zeros(s, np.int32)
+
+    ref = q.vision_tower(params, cfg, jnp.asarray(pw),
+                         jnp.asarray(geom["pos_hw"]),
+                         jnp.asarray(geom["win_seg"]),
+                         jnp.asarray(full_seg),
+                         jnp.asarray(geom["reverse"]))
+    win = _padded_windows(geom, s, s)
+    assert win is not None
+    out = q.vision_tower(params, cfg, jnp.asarray(pw),
+                         jnp.asarray(geom["pos_hw"]),
+                         jnp.asarray(geom["win_seg"]),
+                         jnp.asarray(full_seg),
+                         jnp.asarray(geom["reverse"]),
+                         *[jnp.asarray(w) for w in win])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
