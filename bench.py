@@ -203,6 +203,20 @@ def main():
         print(json.dumps(bench_qwen_video(profile=args.profile)))
         return
 
+    # On-chip kernel self-test BEFORE building anything: kernel changes can
+    # land while the TPU tunnel is down (CPU interpret-mode parity cannot
+    # catch a Mosaic lowering failure), and the bench must produce a number
+    # even if a Pallas family is broken on this chip — the probe disables
+    # exactly the families that fail, via env (inherited by the video
+    # subprocess) + live module constants. T2V_KERNEL_PROBE=0 skips it.
+    probe_info = None
+    if os.environ.get("T2V_KERNEL_PROBE", "1") == "1":
+        from t2v_metrics_tpu.ops.kernel_probe import probe_and_set_fallbacks
+        probe_info = probe_and_set_fallbacks()
+        if probe_info.get("_fallbacks"):
+            print(f"kernel probe fallbacks: {probe_info}", file=__import__(
+                "sys").stderr)
+
     import jax
     import jax.numpy as jnp
     import t2v_metrics_tpu as t2v
@@ -409,6 +423,7 @@ def main():
         "baseline_note": "HF-GPU reference est. 6.0 pairs/s (A100, unbatched "
                          "per-pair loop); target >=5x",
         "chips": n_chips,
+        "kernel_probe": probe_info,
         "video": video,
     }))
 

@@ -51,6 +51,8 @@ class InstructBlipAdapter(VQAScoreModel):
         # dual tokenizers: BERT for the Q-Former instruction, T5 for the LM
         self.qf_tokenizer = self.kwargs.get("qf_tokenizer")
         self.tokenizer = self.kwargs.get("tokenizer")
+        if isinstance(self.tokenizer, str):  # local dir (cold path)
+            self.tokenizer = load_hf_tokenizer(self.tokenizer)
         if self.tokenizer is None and spec["tokenizer"] is not None:
             try:
                 self.tokenizer = load_hf_tokenizer(spec["tokenizer"])

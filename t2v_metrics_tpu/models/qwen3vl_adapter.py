@@ -48,6 +48,8 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
         self.params = params
 
         tok = self.kwargs.get("tokenizer")
+        if isinstance(tok, str):  # local tokenizer dir (cold path)
+            tok = load_hf_tokenizer(tok)
         if tok is None and spec["hf"] is not None:
             try:
                 tok = load_hf_tokenizer(spec["hf"])

@@ -1,0 +1,207 @@
+"""On-device Pallas kernel self-test with automatic fallbacks.
+
+A Mosaic compile error or a bad lowering only surfaces on a REAL TPU chip:
+CPU interpret-mode parity (what the test suite can check in this sandbox)
+exercises the kernel math but not the hardware lowering. When kernel
+changes land while the TPU tunnel is down, the first on-chip user is the
+driver's benchmark/compile gate — and an unhandled kernel failure there
+sinks the whole run's artifacts.
+
+`probe()` compiles + runs each risky kernel family on the real device at
+a representative production shape and compares against the XLA reference
+path. `probe_and_set_fallbacks()` runs it in a killable subprocess (a
+SIGSEGV inside Mosaic must not kill the caller), then disables exactly the
+kernel families that failed — via both the env knobs (so child processes
+inherit the decision) and the live module constants (they feed trace-time
+dispatch, see ops/attention.py:40-50).
+
+Caller: bench.py, before building the scorer. (__graft_entry__.entry()
+deliberately does NOT probe: its tiny config falls below the flash
+dispatch floor (sq >= 128, attention_flat) so it runs the dense XLA path
+with no Mosaic exposure, and the probe's several on-chip compiles would
+slow the driver's compile gate.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+# Ordered most-critical first: a probe crash loses the cases after the
+# crashing one, and missing cases are treated as failures (conservative).
+CASES = ("packed_bias", "packed_causal_gqa", "packed_segment", "flat",
+         "fused_ln")
+
+_TOL = 0.06  # bf16 softmax-weighted outputs; real lowering bugs are O(1)
+
+
+def _mk(shape, seed, scale=0.5):
+    import numpy as np
+
+    return (np.random.default_rng(seed).standard_normal(shape)
+            .astype(np.float32) * scale)
+
+
+def _run_case(name: str) -> str:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import attention as A
+    from . import norms as N
+
+    if name == "fused_ln":
+        x = jnp.asarray(_mk((256, 2048), 0, 1.0))
+        s = jnp.asarray(_mk((2048,), 1, 1.0))
+        b = jnp.asarray(_mk((2048,), 2, 1.0))
+        got = np.asarray(N.layer_norm_fused(x, s, b, eps=1e-5))
+        xc = np.asarray(x) - np.asarray(x).mean(-1, keepdims=True)
+        ref = (xc / np.sqrt((xc * xc).mean(-1, keepdims=True) + 1e-5)
+               * np.asarray(s) + np.asarray(b))
+        diff = float(np.max(np.abs(got - ref)))
+        return f"ok maxdiff={diff:.2e}" if diff < 1e-3 else \
+            f"MISMATCH maxdiff={diff:.2e}"
+
+    # attention cases: bf16 inputs (the production dtype), reference = the
+    # XLA dense path over the identical arrays
+    cfgs = {
+        # T5 encoder self-attention class (flagship hot path): MHA packed
+        # qkv + dense (1, H, S, S) rel-pos bias
+        "packed_bias": dict(h=32, kvh=None, d=64, s=640, bias=True,
+                            causal=False, seg=False),
+        # RoPE decoder prefill class: GQA packed, causal
+        "packed_causal_gqa": dict(h=16, kvh=2, d=128, s=512, bias=False,
+                                  causal=True, seg=False),
+        # ViT tower class: MHA packed, padding segment ids
+        "packed_segment": dict(h=16, kvh=None, d=64, s=256, bias=False,
+                               causal=False, seg=True),
+        # unpacked flat kernel (the packed path's own fallback)
+        "flat": dict(h=16, kvh=None, d=64, s=256, bias=False, causal=False,
+                     seg=False, unpacked=True),
+    }
+    c = cfgs[name]
+    h, d, s = c["h"], c["d"], c["s"]
+    kvh = c["kvh"] if c["kvh"] is not None else h
+    qkv = jnp.asarray(_mk((1, s, (h + 2 * kvh) * d), 3)).astype(jnp.bfloat16)
+    bias = jnp.asarray(_mk((1, h, s, s), 4)) if c["bias"] else None
+    seg = None
+    if c["seg"]:
+        import numpy as np_
+
+        seg = jnp.asarray(np_.concatenate(
+            [np_.zeros(s - 64, np_.int32), np_.full(64, -1, np_.int32)])[None])
+    q = qkv[..., : h * d]
+    k = qkv[..., h * d:(h + kvh) * d]
+    v = qkv[..., (h + kvh) * d:]
+    if c.get("unpacked"):
+        got = A.flash_attention_flat(q, k, v, h, kv_heads=c["kvh"],
+                                     bias=bias, causal=c["causal"],
+                                     segment_ids=seg)
+    else:
+        got = A.flash_attention_flat_packed(qkv, h, kv_heads=c["kvh"],
+                                            bias=bias, causal=c["causal"],
+                                            segment_ids=seg)
+    ref = A.attention_flat(q, k, v, h, kv_heads=c["kvh"], bias=bias,
+                           causal=c["causal"], segment_ids=seg,
+                           impl="reference")
+    import numpy as np
+
+    diff = float(np.max(np.abs(np.asarray(got, np.float32)
+                               - np.asarray(ref, np.float32))))
+    return f"ok maxdiff={diff:.2e}" if diff < _TOL else \
+        f"MISMATCH maxdiff={diff:.2e}"
+
+
+def main(cases=None) -> None:
+    """Subprocess entry: one JSON line per result, flushed immediately so a
+    mid-probe crash still delivers the completed cases to the parent."""
+    import jax
+
+    plat = jax.default_backend()
+    print(json.dumps({"platform": plat}), flush=True)
+    if plat != "tpu":
+        return
+    for case in cases or CASES:
+        try:
+            status = _run_case(case)
+        except Exception as e:  # noqa: BLE001 — report, never raise
+            status = f"FAIL {type(e).__name__}: {e}"[:300]
+        print(json.dumps({case: status}), flush=True)
+
+
+def _decide_fallbacks(results: dict) -> list:
+    """Pure mapping from probe statuses to fallback actions (unit-tested).
+
+    Missing cases (probe crashed before reaching them) count as failures.
+    Returns actions from {"no_packed", "no_flash", "no_fused_ln"}.
+    """
+    if results.get("platform") != "tpu":
+        return []
+
+    def bad(case):
+        return not str(results.get(case, "NO-RESULT")).startswith("ok")
+
+    actions = []
+    if bad("flat"):
+        actions += ["no_flash", "no_packed"]
+    elif any(bad(c) for c in ("packed_bias", "packed_causal_gqa",
+                              "packed_segment")):
+        actions.append("no_packed")
+    if bad("fused_ln"):
+        actions.append("no_fused_ln")
+    return actions
+
+
+def _apply_fallbacks(actions) -> None:
+    """Env knobs for child processes + live module constants for this one
+    (the constants feed trace-time dispatch; env alone would only affect
+    processes that have not imported the modules yet)."""
+    from . import attention as A
+    from . import norms as N
+
+    if "no_packed" in actions:
+        os.environ["T2V_FLASH_PACKED"] = "0"
+        A.FLASH_PACKED = False
+    if "no_flash" in actions:
+        os.environ["T2V_ATTN_IMPL"] = "reference"
+        A.ATTN_IMPL_OVERRIDE = "reference"
+    if "no_fused_ln" in actions:
+        os.environ["T2V_FUSED_LN"] = "0"
+        N.FUSED_LN = False
+
+
+def probe_and_set_fallbacks(timeout_s: int = 600) -> dict:
+    """Run the probe subprocess; disable whatever failed. Returns the
+    statuses plus `_fallbacks` (possibly empty). A hung probe (dead TPU
+    tunnel blocks jax backend init indefinitely) or a pre-jax crash
+    returns `{"_probe": "unavailable"}` and changes nothing — the caller's
+    own device work would hit the same wall anyway."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "t2v_metrics_tpu.ops.kernel_probe"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=repo_root)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        results: dict = {}
+        for ln in lines:
+            results.update(json.loads(ln))
+    except Exception:
+        return {"_probe": "unavailable"}
+    if "platform" not in results:
+        return {"_probe": "unavailable",
+                "_stderr": (r.stderr or "")[-300:]}
+    if results["platform"] == "tpu":
+        # a crash mid-probe drops later cases; surface that explicitly
+        for case in CASES:
+            results.setdefault(case, "NO-RESULT (probe process died)")
+    actions = _decide_fallbacks(results)
+    _apply_fallbacks(actions)
+    results["_fallbacks"] = actions
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or None)

@@ -28,6 +28,8 @@ raw numbers.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,13 +150,43 @@ def qwen7b_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
                           topology_name, budget_gib)
 
 
+_TOPO_PROBE_CACHE: dict = {}
+
+
+def _topology_devices(topology_name: str, timeout_s: int = 120):
+    """TPU topology devices, or None. The PJRT plugin init inside
+    get_topology_desc HANGS (not raises) when the TPU tunnel is down, so
+    probe it in a killable subprocess before calling in-process. The probe
+    verdict is memoized per topology: with a dead tunnel each probe burns
+    its full timeout, and the deploy report runs once per model family."""
+    import subprocess
+    import sys
+    if os.environ.get("T2V_TPU_TOPO_SKIP") == "1":
+        # the multichip gate's parent probe already found the tunnel dead
+        return None
+    if topology_name not in _TOPO_PROBE_CACHE:
+        probe = ("from jax.experimental import topologies; "
+                 "topologies.get_topology_desc(platform='tpu', "
+                 f"topology_name='{topology_name}'); print('TOPO_OK')")
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            _TOPO_PROBE_CACHE[topology_name] = (
+                r.returncode == 0 and "TOPO_OK" in r.stdout)
+        except Exception:
+            _TOPO_PROBE_CACHE[topology_name] = False
+    if not _TOPO_PROBE_CACHE[topology_name]:
+        return None
+    from jax.experimental import topologies
+    return topologies.get_topology_desc(
+        platform="tpu", topology_name=topology_name).devices
+
+
 def _deploy_report(cfg, aot_fn, tp_sizes, topology_name, budget_gib):
-    try:
-        from jax.experimental import topologies
-        devices = topologies.get_topology_desc(
-            platform="tpu", topology_name=topology_name).devices
-        backend = topology_name
-    except Exception:
+    devices = _topology_devices(topology_name)
+    backend = topology_name
+    if devices is None:
         devices = [d for d in jax.devices() if d.platform == "cpu"]
         backend = "cpu-fallback"
 
