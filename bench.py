@@ -39,25 +39,9 @@ os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 
-def _enable_jax_compilation_cache():
-    """Persistent XLA executable cache under the repo (works through the
-    axon tunnel — verified: serialized-executable cache hits skip the
-    remote compile). The video sub-bench alone costs ~4 min of Mosaic+XLA
-    compiles cold; with the cache a full bench re-run fits comfortably in
-    a 10-minute budget."""
-    try:
-        import jax
+from t2v_metrics_tpu.compile_cache import enable_persistent_cache
 
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
-_enable_jax_compilation_cache()
+enable_persistent_cache()
 
 HF_GPU_BASELINE_PAIRS_PER_SEC = 6.0
 

@@ -121,6 +121,133 @@ def validate_params_dims(params, expected, model_name: str,
             + ("\n  ..." if len(problems) > 20 else "") + hint)
 
 
+def adopt_decoder_dims(dec_params, cfg):
+    """Rebuild a DecoderConfig from a loaded decoder param tree's shapes.
+
+    For the PROVISIONAL-dims families (qwen3.5-*, gemma-4-*, molmo2-* —
+    no public HF config to pin them) the checkpoint's tensor shapes are
+    the first ground truth the registry config ever meets: every field a
+    shape uniquely determines (vocab/d_model from the embedding, layer
+    count, head_dim from the per-head qk-norm scale, heads/kv_heads from
+    the q/k projections, d_ff or expert count/width, embedding tying) is
+    adopted from the checkpoint instead of erroring (the reference gets
+    this for free — HF from_pretrained rebuilds the model from the
+    checkpoint's own config.json, qwen3vl_model.py:119-146).
+
+    Returns ``(new_cfg, changed)`` where ``changed`` maps field ->
+    (registry value, adopted value). Fields shapes cannot determine
+    (rope theta, activation, norm style, sliding windows) keep the
+    registry value — if those diverge too, the numerics are wrong in a
+    way no shape check can see, which is exactly the provisional-dims
+    caveat the family docstrings carry.
+    """
+    import dataclasses
+
+    blocks = dec_params["blocks"]
+    b0 = blocks[0]
+    emb = dec_params["embed"]
+    upd = {
+        "vocab_size": int(emb.shape[0]),
+        "d_model": int(emb.shape[1]),
+        "layers": len(blocks),
+        "tie_embeddings": "lm_head" not in dec_params,
+    }
+    qn = b0["attn"].get("q_norm")
+    head_dim = (int(qn["scale"].shape[-1]) if qn is not None
+                else cfg.head_dim)
+    upd["head_dim"] = head_dim
+    upd["heads"] = int(b0["attn"]["q"]["w"].shape[1]) // head_dim
+    upd["kv_heads"] = int(b0["attn"]["k"]["w"].shape[1]) // head_dim
+    mlp = b0["mlp"]
+    if "moe" in mlp:
+        upd["num_experts"] = int(mlp["moe"]["gate_up"].shape[0])
+        upd["moe_d_ff"] = int(mlp["moe"]["gate_up"].shape[-1]) // 2
+    else:
+        upd["d_ff"] = int(mlp["gate"]["w"].shape[1])
+    changed = {k: (getattr(cfg, k), v) for k, v in upd.items()
+               if getattr(cfg, k) != v}
+    if not changed:
+        return cfg, {}
+    # layer_types (sliding/full pattern) must track the adopted layer
+    # count; repeat the registry pattern — the true pattern is a
+    # config.json fact no shape can recover, same caveat as above.
+    extra = {}
+    lt = getattr(cfg, "layer_types", None)
+    if lt is not None and "layers" in changed:
+        n = changed["layers"][1]
+        extra["layer_types"] = tuple((list(lt) * (n // len(lt) + 1))[:n])
+    return (dataclasses.replace(
+        cfg, **{k: v for k, (_, v) in changed.items()}, **extra), changed)
+
+
+def adopt_vision_dims(vis_params, cfg):
+    """ViT-side counterpart of :func:`adopt_decoder_dims` for the
+    CLIP/SigLIP-style towers (patch_w (patch_dim, width), uniform-width
+    blocks, fc1/fc2 or mlp MLP). Adopts width / layers / mlp_dim /
+    patch_size; heads keep the registry value (head_dim is not a separate
+    tensor in these towers). Returns (new_cfg, changed)."""
+    import dataclasses
+    import math
+
+    blocks = vis_params["blocks"]
+    b0 = blocks[0]
+    mlp = b0["mlp"]
+    fc1 = mlp.get("fc1") or mlp.get("up") or mlp.get("gate")
+    patch_dim = int(vis_params["patch_w"].shape[0])
+    upd = {
+        "width": int(vis_params["patch_w"].shape[1]),
+        "layers": len(blocks),
+        "mlp_dim": int(fc1["w"].shape[1]),
+    }
+    ps = math.isqrt(patch_dim // 3)
+    if 3 * ps * ps == patch_dim:  # 2D conv patchify (not temporal-packed)
+        upd["patch_size"] = ps
+    upd = {k: v for k, v in upd.items() if hasattr(cfg, k)}
+    changed = {k: (getattr(cfg, k), v) for k, v in upd.items()
+               if getattr(cfg, k) != v}
+    if not changed:
+        return cfg, {}
+    return (dataclasses.replace(
+        cfg, **{k: v for k, (_, v) in changed.items()}), changed)
+
+
+def load_with_adopted_dims(ckpt: str, cfg, init_fn, model_name: str,
+                           dtype=None):
+    """Native-checkpoint load for the provisional-dims families: load the
+    param tree, adopt every shape-determined dim the checkpoint disagrees
+    on (see :func:`adopt_decoder_dims`), then run the dims guard against
+    the ADOPTED config — so a differently-sized checkpoint either adapts
+    (with a warning naming each adopted field) or fails with the exact
+    field list, never with a shape error deep inside the first jit trace.
+
+    Returns ``(params, cfg)`` with ``cfg`` possibly rebuilt.
+    """
+    import dataclasses
+    import warnings
+
+    params = load_params(ckpt, dtype=dtype)
+    changed_all = {}
+    new_text, new_vis = cfg.text, cfg.vision
+    if "decoder" in params:
+        new_text, ch = adopt_decoder_dims(params["decoder"], cfg.text)
+        changed_all.update({f"text.{k}": v for k, v in ch.items()})
+    if "vision" in params and isinstance(params["vision"], dict) \
+            and "blocks" in params["vision"]:
+        new_vis, ch = adopt_vision_dims(params["vision"], cfg.vision)
+        changed_all.update({f"vision.{k}": v for k, v in ch.items()})
+    if changed_all:
+        cfg = dataclasses.replace(cfg, text=new_text, vision=new_vis)
+        warnings.warn(
+            f"{model_name}: adopted checkpoint dims over the provisional "
+            f"registry values: "
+            + ", ".join(f"{k} {o} -> {n}"
+                        for k, (o, n) in sorted(changed_all.items())))
+    validate_params_dims(
+        params, jax.eval_shape(lambda: init_fn(jax.random.PRNGKey(0), cfg)),
+        model_name, provisional=True)
+    return params, cfg
+
+
 def iter_safetensors(model_dir: str):
     """Yield (name, numpy array) from all safetensors shards in a dir,
     one tensor at a time (bounded memory)."""

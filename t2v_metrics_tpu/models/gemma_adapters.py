@@ -498,14 +498,11 @@ class Gemma4Adapter(Gemma3Adapter):
         if params is None:
             ckpt = self.kwargs.get("checkpoint")
             if ckpt:
-                from .checkpoint import load_params, validate_params_dims
+                from .checkpoint import load_with_adopted_dims
 
-                params = load_params(ckpt, dtype=dtype)
-                validate_params_dims(
-                    params,
-                    jax.eval_shape(lambda: g4.init_gemma4(
-                        jax.random.PRNGKey(0), cfg)),
-                    self.model_name, provisional=True)
+                params, cfg = load_with_adopted_dims(
+                    ckpt, cfg, g4.init_gemma4, self.model_name, dtype=dtype)
+                self.config = cfg
             elif self.kwargs.get("init") == "random" or spec["hf"] is None:
                 params = g4.init_gemma4(
                     jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)

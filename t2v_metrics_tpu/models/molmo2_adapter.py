@@ -59,14 +59,11 @@ class Molmo2Adapter(VQAScoreModel):
         if params is None:
             ckpt = self.kwargs.get("checkpoint")
             if ckpt:
-                from .checkpoint import load_params, validate_params_dims
+                from .checkpoint import load_with_adopted_dims
 
-                params = load_params(ckpt, dtype=dtype)
-                validate_params_dims(
-                    params,
-                    jax.eval_shape(lambda: m2.init_molmo2(
-                        jax.random.PRNGKey(0), cfg)),
-                    self.model_name, provisional=True)
+                params, cfg = load_with_adopted_dims(
+                    ckpt, cfg, m2.init_molmo2, self.model_name, dtype=dtype)
+                self.config = cfg
             elif self.kwargs.get("init") == "random" or spec["hf"] is None:
                 params = m2.init_molmo2(
                     jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)

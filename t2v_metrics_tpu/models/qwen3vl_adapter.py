@@ -45,6 +45,7 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
                     jax.random.PRNGKey(self.kwargs.get("seed", 0)), cfg, dtype)
             else:
                 params = self._load_from_hf(spec["hf"], cfg, dtype)
+            cfg = self.config  # _load_from_hf may adopt checkpoint dims
         self.params = params
 
         tok = self.kwargs.get("tokenizer")
@@ -96,24 +97,40 @@ class Qwen3VLAdapter(Qwen2VLAdapter):
             hf = Qwen3VLForConditionalGeneration.from_pretrained(
                 repo, cache_dir=self.cache_dir, torch_dtype=torch.float32)
             if self.model_name.startswith("qwen3.5"):
-                # dims guard: the registry dims for qwen3.5 are PROVISIONAL
-                # (no public HF config at the reference checkout,
-                # models/qwen3vl.py registry comment) — cross-check against
-                # the checkpoint's real config before converting, so a
-                # mismatch is a one-line fix instead of a shape error deep
-                # in convert_qwen3vl.
+                # The registry dims for qwen3.5 are PROVISIONAL (no public
+                # HF config at the reference checkout, models/qwen3vl.py
+                # registry comment). The checkpoint's own config.json is
+                # ground truth — ADOPT its dims over the registry values
+                # (VERDICT r4 item 8; the reference gets this for free via
+                # from_pretrained, qwen3vl_model.py:119-146) so the convert
+                # below never shape-errors on a registry guess.
+                import dataclasses
+                import warnings
+
                 tc = hf.config.text_config
-                want = (cfg.text.d_model, cfg.text.layers, cfg.text.heads,
-                        cfg.text.kv_heads, cfg.text.d_ff)
-                got = (tc.hidden_size, tc.num_hidden_layers,
-                       tc.num_attention_heads, tc.num_key_value_heads,
-                       tc.intermediate_size)
-                if want != got:
-                    raise ValueError(
-                        f"{self.model_name}: provisional registry dims "
-                        f"(d_model, layers, heads, kv_heads, d_ff)={want} "
-                        f"do not match checkpoint config {got}; pass "
-                        f"config=<Qwen3VLConfig with the checkpoint dims>")
+                got = {"d_model": tc.hidden_size,
+                       "layers": tc.num_hidden_layers,
+                       "heads": tc.num_attention_heads,
+                       "kv_heads": tc.num_key_value_heads,
+                       "d_ff": tc.intermediate_size,
+                       "vocab_size": tc.vocab_size,
+                       "head_dim": getattr(
+                           tc, "head_dim",
+                           tc.hidden_size // tc.num_attention_heads),
+                       "rope_theta": getattr(tc, "rope_theta",
+                                             cfg.text.rope_theta)}
+                diff = {k: (getattr(cfg.text, k), v) for k, v in got.items()
+                        if getattr(cfg.text, k) != v}
+                if diff:
+                    warnings.warn(
+                        f"{self.model_name}: adopted checkpoint dims over "
+                        f"the provisional registry values: "
+                        + ", ".join(f"text.{k} {o} -> {n}"
+                                    for k, (o, n) in sorted(diff.items())))
+                    cfg = dataclasses.replace(
+                        cfg, text=dataclasses.replace(
+                            cfg.text, **{k: v for k, (_, v) in diff.items()}))
+                    self.config = cfg
             return q3.convert_qwen3vl(hf.state_dict(), cfg, dtype)
         except Exception as e:
             raise RuntimeError(

@@ -500,12 +500,21 @@ def _on_tpu() -> bool:
 # Single-kv-block shapes only (the hot paths: ViT T=640, T5 S=640).
 
 def _flat_plan(sq: int, sk: int, heads: int, kv_heads: int | None, d: int,
-               has_bias: bool, block_q: int = 768):
+               has_bias: bool, block_q: int = 768, packed: bool = False):
     """(bq, sk_pad, hg) geometry for the flat flash kernel; hg is None when
     no legal head grouping exists. SINGLE source of truth for both the
     attention_flat dispatch gate and flash_attention_flat itself — a drift
     between the two would turn qualifying shapes into runtime
-    ValueErrors instead of reference-path fallbacks."""
+    ValueErrors instead of reference-path fallbacks.
+
+    packed: the q/k/v blocks are lane-offset views of ONE
+    (B, S, (H+2KvH)*D) array, so the "block == full array last dim"
+    legality escape never applies — every block lane width (hg*d for q,
+    (hg/kv_rep)*d for k/v) must be a 128 multiple, and the k/v lane
+    offsets (h*d, (h+kvh)*d) must land on k/v-block boundaries. A g==h
+    group that is only legal unpacked (e.g. 1 head x d=64 in the tiny
+    test configs) must disqualify the packed kernel, not ValueError at
+    Mosaic lowering (caught by the driver entry() compile check, r4)."""
     nq = -(-sq // block_q)
     bq = _round_up(-(-sq // nq), 128) if sq > 128 else _round_up(max(sq, 8), 8)
     sk_pad = _round_up(sk, 128)
@@ -518,6 +527,11 @@ def _flat_plan(sq: int, sk: int, heads: int, kv_heads: int | None, d: int,
         hg = heads if heads % kvh == 0 and est <= 40 * 1024 * 1024 else None
     else:
         hg = _flat_head_group(heads, d, bq, sk_pad, has_bias)
+    if packed and hg is not None:
+        ku = (hg * kvh // heads) * d
+        if ((hg * d) % 128 != 0 or ku % 128 != 0
+                or (heads * d) % ku != 0 or ((heads + kvh) * d) % ku != 0):
+            hg = None
     return bq, sk_pad, hg
 
 
@@ -699,7 +713,7 @@ def _flash_flat_common(q, k, v, heads, kv_heads, bias, kv_mask, causal,
 
     # same geometry the dispatch gate checked (_flat_plan)
     bq, sk_pad, hg = _flat_plan(sq, sk, h, kv_heads, d, bias is not None,
-                                block_q=block_q)
+                                block_q=block_q, packed=packed)
     sq_pad = _round_up(sq, bq)
     if hg is None:
         raise ValueError("no legal head group for flat flash attention")
@@ -883,7 +897,8 @@ def attention_flat_packed(qkv, heads, kv_heads=None, bias=None, kv_mask=None,
     b, sq, total = qkv.shape
     kvh = kv_heads if kv_heads is not None else heads
     d = total // (heads + 2 * kvh)
-    _, _, hg = _flat_plan(sq, sq, heads, kv_heads, d, bias is not None)
+    _, _, hg = _flat_plan(sq, sq, heads, kv_heads, d, bias is not None,
+                          packed=True)
     ok = (FLASH_PACKED and impl != "reference" and _on_tpu()
           and pltpu is not None
           and 128 <= sq <= 2048

@@ -153,28 +153,56 @@ def qwen7b_deploy_report(tp_sizes=(4, 8), topology_name: str = "v5e:2x4",
 _TOPO_PROBE_CACHE: dict = {}
 
 
-def _topology_devices(topology_name: str, timeout_s: int = 120):
-    """TPU topology devices, or None. The PJRT plugin init inside
-    get_topology_desc HANGS (not raises) when the TPU tunnel is down, so
-    probe it in a killable subprocess before calling in-process. The probe
-    verdict is memoized per topology: with a dead tunnel each probe burns
-    its full timeout, and the deploy report runs once per model family."""
+def _topology_devices(topology_name: str, timeout_s: int = 240):
+    """TPU topology devices, or None. Hermeticity rules (VERDICT r3: a
+    libtpu client/terminal version skew crashed the whole multichip gate):
+
+    * The PJRT plugin init inside get_topology_desc HANGS (not raises)
+      when the TPU tunnel is down — probe in a killable subprocess.
+    * The probe runs the FULL mini AOT pipeline (topology desc -> jit
+      lower -> compile -> memory_analysis) with eager dispatch pinned to
+      CPU, so *any* TPU-side failure mode (libtpu skew, Mosaic lowering,
+      AOT serialization) flips the verdict to cpu-fallback instead of
+      surfacing later in-process.
+    * The verdict is memoized per topology: with a dead tunnel each probe
+      burns its full timeout, and the deploy report runs once per family.
+    """
     import subprocess
     import sys
     if os.environ.get("T2V_TPU_TOPO_SKIP") == "1":
         # the multichip gate's parent probe already found the tunnel dead
         return None
     if topology_name not in _TOPO_PROBE_CACHE:
-        probe = ("from jax.experimental import topologies; "
-                 "topologies.get_topology_desc(platform='tpu', "
-                 f"topology_name='{topology_name}'); print('TOPO_OK')")
+        probe = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import jax.numpy as jnp\n"
+            "from jax.experimental import topologies\n"
+            "topo = topologies.get_topology_desc(platform='tpu', "
+            f"topology_name='{topology_name}')\n"
+            "devs = topo.devices\n"
+            "from jax.sharding import Mesh, NamedSharding, PartitionSpec\n"
+            "import numpy as np\n"
+            "mesh = Mesh(np.asarray(devs[:2]).reshape(1, 2), ('dp', 'tp'))\n"
+            "s = NamedSharding(mesh, PartitionSpec(None, 'tp'))\n"
+            "x = jax.ShapeDtypeStruct((128, 256), jnp.bfloat16, sharding=s)\n"
+            "c = jax.jit(lambda a: (a @ a.T).sum()).lower(x).compile()\n"
+            "ma = c.memory_analysis()\n"
+            "assert ma.argument_size_in_bytes > 0\n"
+            "print('TOPO_OK')\n")
         try:
             r = subprocess.run([sys.executable, "-c", probe],
                                capture_output=True, text=True,
                                timeout=timeout_s)
             _TOPO_PROBE_CACHE[topology_name] = (
                 r.returncode == 0 and "TOPO_OK" in r.stdout)
-        except Exception:
+            if not _TOPO_PROBE_CACHE[topology_name]:
+                print(f"deploy: TPU topology probe failed "
+                      f"(rc={r.returncode}); using cpu-fallback. tail: "
+                      f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"deploy: TPU topology probe error {type(e).__name__}; "
+                  f"using cpu-fallback", file=sys.stderr)
             _TOPO_PROBE_CACHE[topology_name] = False
     if not _TOPO_PROBE_CACHE[topology_name]:
         return None
@@ -216,9 +244,24 @@ def _deploy_report(cfg, aot_fn, tp_sizes, topology_name, budget_gib):
 
 
 def main():
+    import sys
+
     for label, report in (("clip-flant5-xxl", xxl_deploy_report),
                           ("qwen2.5-vl-7b", qwen7b_deploy_report)):
-        for rec in report():
+        try:
+            recs = report()
+        except Exception as e:
+            # Real-topology AOT path failed past the probe (e.g. libtpu
+            # client/terminal skew mid-upgrade, VERDICT r3). The deploy
+            # plan is a CORRECTNESS gate — degrade to the hermetic
+            # CPU-fallback report with a warning rather than failing it.
+            print(f"deploy_plan {label}: TPU topology path failed "
+                  f"({type(e).__name__}: {str(e)[:300]}); retrying on "
+                  f"cpu-fallback", file=sys.stderr)
+            os.environ["T2V_TPU_TOPO_SKIP"] = "1"
+            _TOPO_PROBE_CACHE.clear()
+            recs = report()
+        for rec in recs:
             if "skipped" in rec:
                 print(f"deploy_plan {label} tp={rec['tp']}: skipped "
                       f"({rec['skipped']})")

@@ -583,7 +583,10 @@ class TestPackedFlashAttention:
     def test_gqa(self):
         from t2v_metrics_tpu.ops.attention import (flash_attention_flat,
                                                    flash_attention_flat_packed)
-        B, S, H, KV, D = 2, 160, 8, 2, 32
+        # D=64 keeps the packed k/v lane width (KV/rep groups) a 128
+        # multiple — the packed kernel's legality rule on real TPUs
+        # (_flat_plan packed=True); D=32 here would be interpret-only
+        B, S, H, KV, D = 2, 160, 8, 2, 64
         q, k, v, packed = self._mk(B, S, H, KV, D, seed=3)
         m = jnp.asarray(np.random.default_rng(3).random((B, S)) > 0.2
                         ).at[:, 0].set(True)
@@ -593,6 +596,19 @@ class TestPackedFlashAttention:
                                           causal=True, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+    def test_packed_legality_gate(self):
+        # Lane-offset views of the packed array can never use the "block
+        # == full array last dim" legality escape: 1 head x d=64 is legal
+        # unpacked but must DISQUALIFY packed (the r4 driver entry()
+        # compile check caught this as a Mosaic lowering ValueError).
+        from t2v_metrics_tpu.ops.attention import _flat_plan
+        assert _flat_plan(128, 128, 1, None, 64, False)[2] == 1
+        assert _flat_plan(128, 128, 1, None, 64, False, packed=True)[2] is None
+        # GQA whose kv block lane width is 64 (< 128): interpret-only
+        assert _flat_plan(160, 160, 8, 2, 32, False, packed=True)[2] is None
+        # legal packed GQA: kv lane width (8/4 groups x 64) = 128
+        assert _flat_plan(160, 160, 8, 2, 64, False, packed=True)[2] == 8
 
     def test_dispatch_fallback_slices(self):
         # off-TPU the attention_flat_packed dispatcher must slice the
