@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8,
                     help="device passes per repeat (pipelined, one fetch each)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of one repeat here")
     args = ap.parse_args()
 
     from t2v_metrics_tpu.compile_cache import enable_persistent_cache
@@ -88,6 +90,12 @@ def main():
             np.asarray(o)
         per_repeat.append(args.chunk * args.iters
                           / (time.perf_counter() - t0))
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            outs = [device_pass(k) for k in range(args.iters)]
+            for o in outs:
+                np.asarray(o)
 
     best = max(per_repeat)
     fpp = bench.flops_per_pair(eng.cfg, enc_seq, ans_len)

@@ -1,0 +1,243 @@
+"""clip-flant5-xxl piecewise real-dims measurement (VERDICT r3 item 4).
+
+The 11B xxl (BASELINE config 3's model, reference genai_image_eval.py:22
+default) does not fit one 16 GB v5e chip in bf16 (~22 GiB of weights), so
+the headline bench runs the xl. This script executes every xxl compute
+piece at TRUE xxl dimensions (d_model=4096, d_ff=10240, 64 heads,
+24+24 layers) on the real chip, under the production kernels and the
+headline protocol shapes (chunk=128 pairs, enc_seq=640, ans_len=4):
+
+  * CLIP ViT-L/14-336 tower + 2-layer projector to d_model=4096
+  * ONE T5-xxl encoder block, iterated 24x inside one jit (lax.fori_loop,
+    loop-carried x so iterations cannot overlap) -> ms/layer
+  * ONE T5-xxl decoder block (self + cross over the S=640 encoder states
+    + MLP), iterated 24x the same way
+  * the untied lm_head matmul + fp32 log_softmax + answer-token gather
+
+and derives a single-chip-equivalent xxl pairs/s plus a tp4 projection:
+
+  T_chunk = vit_proj + 24*enc_layer + 24*dec_layer + head
+  single_chip_equiv = chunk / T_chunk          (what one >=24 GiB chip
+                                                of this generation would do)
+  tp4 pairs/s/chip  = eta_ICI * single_chip_equiv
+                      (TP splits each layer 4-way; per-chip throughput
+                      equals single-chip-equivalent x parallel efficiency;
+                      eta accounts for the 2 all-reduces/layer of
+                      (B,S,d_model) bf16 over ICI and the unsharded
+                      LN/residual work — 0.85 is the conservative end of
+                      measured v5e TP efficiency for 11B-class decoders)
+
+Every weight is random bf16 (zero-egress image); throughput is
+shape-determined. The AOT tp4/tp8 HBM fit for xxl is proven separately
+(parallel/deploy.py on the real v5e topology descriptor).
+
+Prints one JSON line; bench.py merges it as "xxl_projection".
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+
+def _time_calls(fn, args_fn, repeats=3):
+    """Best-of-repeats wall seconds for one dispatched call chain.
+
+    Each repeat gets distinct arg values (args_fn(r)) — the axon tunnel
+    caches repeated byte-identical executions, which would make repeats
+    2+ free. Only the final tiny device->host fetch is a real sync point.
+    """
+    out = fn(*args_fn(repeats))  # warm/compile
+    np.asarray(out.ravel()[:1])
+    best = float("inf")
+    for r in range(repeats):
+        a = args_fn(r)
+        t0 = time.perf_counter()
+        out = fn(*a)
+        np.asarray(out.ravel()[:1])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--enc-seq", type=int, default=640)
+    ap.add_argument("--ans-len", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--eta", type=float, default=0.85,
+                    help="assumed TP-over-ICI parallel efficiency")
+    args = ap.parse_args()
+
+    from t2v_metrics_tpu.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import bench
+    from t2v_metrics_tpu.models import clip_flant5 as cft5
+    from t2v_metrics_tpu.models import clip as jclip
+    from t2v_metrics_tpu.models import t5 as jt5
+
+    cfg = cft5.CLIP_T5_CONFIGS["clip-flant5-xxl"]
+    t5c = cfg.t5
+    P, S, A = args.chunk, args.enc_seq, args.ans_len
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    kv, ke, kd, kh = jax.random.split(key, 4)
+
+    # ---- piece weights at true xxl dims (each fits the chip alone) ----
+    vis_params = {
+        "vision": jclip.init_vision(jax.random.split(kv)[0], cfg.vision, dt),
+        "projector": {
+            "fc1": {"w": jax.random.normal(
+                        jax.random.split(kv)[1],
+                        (cfg.vision.width, t5c.d_model), dt) * 0.02,
+                    "b": jnp.zeros((t5c.d_model,), dt)},
+            "fc2": {"w": jax.random.normal(
+                        kv, (t5c.d_model, t5c.d_model), dt) * 0.02,
+                    "b": jnp.zeros((t5c.d_model,), dt)},
+        },
+    }
+    enc_blk = {
+        "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
+        "attn": jt5._init_t5_attn(ke, t5c, t5c.num_buckets, dt),
+        "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
+        "mlp": jt5._init_t5_mlp(jax.random.split(ke)[0], t5c, dt),
+    }
+    kd1, kd2, kd3 = jax.random.split(kd, 3)
+    dec_blk = {
+        "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
+        "attn": jt5._init_t5_attn(kd1, t5c, t5c.num_buckets, dt),
+        "ln_cross": {"scale": jnp.ones((t5c.d_model,), dt)},
+        "cross": jt5._init_t5_attn(kd2, t5c, None, dt),
+        "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
+        "mlp": jt5._init_t5_mlp(kd3, t5c, dt),
+    }
+    lm_head = jax.random.normal(kh, (t5c.d_model, t5c.vocab_size), dt) * 0.02
+
+    # ---- inputs (device-resident; perturbed per repeat via scalar) ----
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.normal(0, 1, (P, cfg.vision.image_size,
+                                           cfg.vision.image_size, 3)),
+                         jnp.float32)
+    x_enc = jnp.asarray(rng.normal(0, 1, (P, S, t5c.d_model)), dt)
+    x_dec = jnp.asarray(rng.normal(0, 1, (P, A, t5c.d_model)), dt)
+    enc_hidden = jnp.asarray(rng.normal(0, 1, (P, S, t5c.d_model)), dt)
+    ans_ids = jnp.asarray(rng.integers(0, t5c.vocab_size, (P, A)), jnp.int32)
+    mask = jnp.ones((P, S), bool)
+    dmask = jnp.ones((P, A), bool)
+
+    # ---- 1) ViT + projector, n_vit sequential applications ----
+    n_vit = 4
+
+    @jax.jit
+    def vit_chain(params, px, seed):
+        def body(_, carry):
+            feats = cft5.image_features(params, cfg, carry)
+            # tiny data dependency: forces strictly sequential iterations
+            return carry + feats.mean().astype(carry.dtype) * 0
+        return lax.fori_loop(0, n_vit, body, px + seed)[:, 0, 0, 0]
+
+    vit_s = _time_calls(vit_chain,
+                        lambda r: (vis_params, pixels, jnp.float32(r)),
+                        args.repeats) / n_vit
+
+    # ---- 2) one xxl encoder block x enc_layers inside one jit ----
+    @jax.jit
+    def enc_chain(blk, rel_emb, x, m, seed):
+        bias = jt5.compute_position_bias(rel_emb, S, S, True,
+                                         t5c.num_buckets, t5c.max_distance)
+        def body(_, carry):
+            return jt5._enc_block(blk, carry, t5c, bias, m)
+        return lax.fori_loop(0, t5c.enc_layers, body, x + seed)[:, 0, :1]
+
+    enc_s = _time_calls(
+        enc_chain,
+        lambda r: (enc_blk, enc_blk["attn"]["rel_bias"], x_enc, mask,
+                   jnp.asarray(r, dt)),
+        args.repeats) / t5c.enc_layers
+
+    # ---- 3) one xxl decoder block x dec_layers inside one jit ----
+    @jax.jit
+    def dec_chain(blk, rel_emb, x, enc, em, dm, seed):
+        bias = jt5.compute_position_bias(rel_emb, A, A, False,
+                                         t5c.num_buckets, t5c.max_distance)
+        def body(_, carry):
+            return jt5._dec_block(blk, carry, enc, t5c, bias, em, dm)
+        return lax.fori_loop(0, t5c.dec_layers, body, x + seed)[:, 0, :1]
+
+    dec_s = _time_calls(
+        dec_chain,
+        lambda r: (dec_blk, dec_blk["attn"]["rel_bias"], x_dec, enc_hidden,
+                   mask, dmask, jnp.asarray(r, dt)),
+        args.repeats) / t5c.dec_layers
+
+    # ---- 4) lm head + fp32 log_softmax + answer gather ----
+    n_head = 8
+
+    @jax.jit
+    def head_chain(w, x, ids, seed):
+        def body(_, carry):
+            h = carry * (t5c.d_model ** -0.5) if t5c.tie_word_embeddings \
+                else carry
+            logits = (h @ w).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tok = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+            return carry + tok.mean().astype(carry.dtype) * 0
+        return lax.fori_loop(0, n_head, body, x + seed)[:, 0, :1]
+
+    head_s = _time_calls(head_chain,
+                         lambda r: (lm_head, x_dec, ans_ids,
+                                    jnp.asarray(r, dt)),
+                         args.repeats) / n_head
+
+    # ---- projection ----
+    total_s = (vit_s + t5c.enc_layers * enc_s + t5c.dec_layers * dec_s
+               + head_s)
+    single_pps = P / total_s
+    tp4_pps_chip = args.eta * single_pps
+
+    fpp = bench.flops_per_pair(cfg, S, A)
+    peak = bench._peak_tflops(jax.devices()[0])
+    print(json.dumps({
+        "model": "clip-flant5-xxl",
+        "protocol": "piecewise real-dims on one chip: each xxl piece "
+                    "(d_model=4096, d_ff=10240, 64 heads) measured under "
+                    "production kernels at the headline shapes; layers "
+                    "iterated in one loop-carried jit; best of "
+                    f"{args.repeats} repeats, distinct inputs per repeat",
+        "chunk": P, "enc_seq": S, "ans_len": A,
+        "vit_proj_ms_per_chunk": round(vit_s * 1000, 1),
+        "enc_layer_ms_per_chunk": round(enc_s * 1000, 2),
+        "dec_layer_ms_per_chunk": round(dec_s * 1000, 2),
+        "head_softmax_ms_per_chunk": round(head_s * 1000, 2),
+        "enc_layers": t5c.enc_layers, "dec_layers": t5c.dec_layers,
+        "total_ms_per_chunk": round(total_s * 1000, 1),
+        "single_chip_equiv_pairs_per_sec": round(single_pps, 2),
+        "flops_per_pair_g": round(fpp / 1e9, 1),
+        "mfu_single_chip_equiv": round(single_pps * fpp / (peak * 1e12), 3),
+        "tp4_ici_efficiency_assumed": args.eta,
+        "tp4_pairs_per_sec_per_chip": round(tp4_pps_chip, 2),
+        "tp4_vs_hf_gpu_baseline": round(
+            tp4_pps_chip / bench.HF_GPU_BASELINE_PAIRS_PER_SEC, 2),
+        "derivation": "T_chunk = vit_proj + enc_layers*enc_layer + "
+                      "dec_layers*dec_layer + head; single_chip_equiv = "
+                      "chunk/T_chunk; tp4 pairs/s/chip = eta * "
+                      "single_chip_equiv (TP4 splits every layer 4-way; "
+                      "AOT HBM fit at tp4/tp8 proven in parallel/deploy.py)",
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

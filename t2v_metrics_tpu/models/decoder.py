@@ -304,7 +304,8 @@ def _moe_mlp(p, cfg: DecoderConfig, x):
 def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
             position_ids: jnp.ndarray, attn_mask: jnp.ndarray | None = None,
             cache=None, cache_pos=None, bidir_ids=None, deepstack=None,
-            want_hidden: bool = False, capture_layer: int | None = None):
+            want_hidden: bool = False, capture_layer: int | None = None,
+            logit_positions: jnp.ndarray | None = None):
     """embeds: (B, S, D). Returns (logits fp32, new_cache).
 
     Without cache: full causal self-attention (teacher-forced scoring).
@@ -317,6 +318,13 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
     deepstack: optional list of (B, S, D) residuals added to the hidden
     state after layers 0..len-1 (Qwen3-VL deepstack visual features,
     already scattered to visual positions, zero elsewhere).
+    logit_positions: optional (B, A) int — compute lm-head logits ONLY at
+    these sequence positions: logits come back (B, A, vocab). Scoring
+    needs 1-8 answer positions of a 1k+ prefill; the full-seq head matmul
+    plus its fp32 (B, S, vocab) logits in HBM (~2.5 GB at the video bench
+    shape) would otherwise dwarf the gather it saves. Identical numerics:
+    the head is per-row, so gathering rows before it equals gathering
+    logits after it.
     """
 
     def _norm(x, p):
@@ -359,10 +367,13 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
             captured = x
         new_cache.append(nc)
     x = _norm(x, params["ln_final"])
+    xh = x
+    if logit_positions is not None:
+        xh = jnp.take_along_axis(x, logit_positions[..., None], axis=1)
     if cfg.tie_embeddings:
-        logits = x @ params["embed"].T
+        logits = xh @ params["embed"].T
     else:
-        logits = x @ params["lm_head"]
+        logits = xh @ params["lm_head"]
     logits = logits.astype(jnp.float32)
     out_cache = new_cache if cache is not None else None
     extras = []

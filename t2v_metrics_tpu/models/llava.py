@@ -101,11 +101,10 @@ def splice_and_score(params: Params, cfg: LlavaConfig,
     vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1)
     embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds,
-                            position_ids, attn_mask)
+                            position_ids, attn_mask,
+                            logit_positions=ans_pos)  # (B, A, V)
     logp = jax.nn.log_softmax(logits / temperature, axis=-1)
-    sel = jnp.take_along_axis(
-        logp, ans_pos[..., None, None].squeeze(-1), axis=1)
-    tok_logp = jnp.take_along_axis(sel, ans_ids[..., None], axis=-1)[..., 0]
+    tok_logp = jnp.take_along_axis(logp, ans_ids[..., None], axis=-1)[..., 0]
     tok_logp = tok_logp * ans_mask
     return tok_logp.sum(-1) / jnp.maximum(ans_mask.sum(-1), 1)
 

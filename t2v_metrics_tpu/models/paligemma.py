@@ -112,9 +112,9 @@ def first_token_distribution(params: Params, cfg: PaliGemmaConfig,
     embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
     bidir = jnp.where(prefix_mask, 0, -1)
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
-                            attn_mask, bidir_ids=bidir)
-    sel = jnp.take_along_axis(logits, logit_pos[:, None, None], axis=1)[:, 0]
-    return jax.nn.softmax(sel, axis=-1)
+                            attn_mask, bidir_ids=bidir,
+                            logit_positions=logit_pos[:, None])  # (B, 1, V)
+    return jax.nn.softmax(logits[:, 0], axis=-1)
 
 
 def init_paligemma(key, cfg: PaliGemmaConfig, dtype=jnp.float32) -> Params:

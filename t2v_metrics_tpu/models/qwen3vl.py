@@ -320,10 +320,9 @@ def splice_and_answer_dists(params: Params, cfg: Qwen3VLConfig,
                                 vis_slot[..., None], axis=1)
         ds_list.append(jnp.where(vis_mask[..., None], d, 0.0))
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
-                            attn_mask, deepstack=ds_list or None)
-    sel = jnp.take_along_axis(logits, ans_pos[..., None, None].squeeze(-1),
-                              axis=1)
-    return jax.nn.softmax(sel / temperature, axis=-1)
+                            attn_mask, deepstack=ds_list or None,
+                            logit_positions=ans_pos)  # (B, A, V)
+    return jax.nn.softmax(logits / temperature, axis=-1)
 
 
 def splice_and_score(params: Params, cfg: Qwen3VLConfig,
@@ -343,10 +342,10 @@ def splice_and_score(params: Params, cfg: Qwen3VLConfig,
         d = jnp.take_along_axis(deepstack_feats[level], vis_slot[..., None], axis=1)
         ds_list.append(jnp.where(vis_mask[..., None], d, 0.0))
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
-                            attn_mask, deepstack=ds_list)
+                            attn_mask, deepstack=ds_list,
+                            logit_positions=ans_pos)  # (B, A, V)
     logp = jax.nn.log_softmax(logits / temperature, axis=-1)
-    sel = jnp.take_along_axis(logp, ans_pos[..., None, None].squeeze(-1), axis=1)
-    tok_logp = jnp.take_along_axis(sel, ans_ids[..., None], axis=-1)[..., 0]
+    tok_logp = jnp.take_along_axis(logp, ans_ids[..., None], axis=-1)[..., 0]
     tok_logp = tok_logp * ans_mask
     return tok_logp.sum(-1) / jnp.maximum(ans_mask.sum(-1), 1)
 

@@ -136,17 +136,16 @@ def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
                                       kv_mask=kv_mask, causal=causal,
                                       scale=1.0)
         else:
-            # cross-attention: pack k|v into one d_model -> 2*inner matmul
-            # (the enc-side projections are the decoder's biggest matmuls;
-            # one wide op beats two narrow ones on the MXU). The q side is
-            # tiny (A=4 rows) and the kernel path here is the reference
-            # one, so the k/v lane slices below are cheap relative to the
-            # projection win.
-            w_kv = jnp.concatenate([p["k"]["w"], p["v"]["w"]], axis=1)
-            kvp = kv @ w_kv
-            inner = p["k"]["w"].shape[1]
-            a = attention_flat(x @ p["q"]["w"], kvp[..., :inner],
-                               kvp[..., inner:], heads, bias=bias,
+            # cross-attention: SEPARATE k/v matmuls. Packing k|v into one
+            # wide matmul was tried (round 3) and A/B'd on chip at the
+            # bench shapes: the packed projection hits ~96% roofline but
+            # the two lane slices it forces on the (B, S, 2*inner) output
+            # cost more than the width gain — device-only 70.0 vs 73.8
+            # pairs/s with separate projections (scripts/device_ab.py,
+            # r4 bisect). Narrow d_model->inner matmuls at S=640 already
+            # run ~91% on the MXU.
+            a = attention_flat(x @ p["q"]["w"], kv @ p["k"]["w"],
+                               kv @ p["v"]["w"], heads, bias=bias,
                                kv_mask=kv_mask, causal=causal, scale=1.0)
         return a @ p["o"]["w"]
     q = L.split_heads(x @ p["q"]["w"], heads)
