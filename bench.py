@@ -170,7 +170,12 @@ def bench_qwen_video(model: str = "qwen2.5-vl-3b", n_videos: int = 24,
         ad._decode_video_raw(p, ad.fps_default)
     decode_ms = (time.perf_counter() - t0) * 1000 / n_videos
 
+    dev = _video_device_only(scorer, paths[:batch], batch)
+    proj7b = _qwen7b_projection(dev, batch)
+
     return {"model": model,
+            "device_only": dev,
+            "qwen7b_projection": proj7b,
             "host_decode_ms_per_video": round(decode_ms, 1),
             "pairs_per_sec_per_chip": round(pps, 3),
             "n_videos": n_videos, "batch": batch,
@@ -182,6 +187,170 @@ def bench_qwen_video(model: str = "qwen2.5-vl-3b", n_videos: int = 24,
                     "patchify run on-device from raw uint8 frames; "
                     "reference runs this per-pair on GPU (~0.5-1 pair/s "
                     "A100 class for short clips)"}
+
+
+def _video_device_only(scorer, vids, batch, iters: int = 6):
+    """Pure-device video scoring rate: frames pre-staged on device, the
+    exact production vision + score programs looped with rotated inputs
+    (the tunnel caches identical executions), one fetch at the end.
+
+    Separates chip throughput from the tunnel's H2D (20-55 MB/s — a real
+    TPU host feeds frames over PCIe at GB/s, so this is the deployable
+    number) and from host prep. Returns ms-per-batch splits + device MFU.
+    """
+    import jax
+    import jax.numpy as jnp
+    from t2v_metrics_tpu.models.qwen2vl_adapter import (
+        _padded_geometry, _bucket, PATCH_BUCKETS, DEFAULT_QWEN_QUESTION,
+        DEFAULT_QWEN_ANSWER)
+    from t2v_metrics_tpu.ops.image import smart_resize
+
+    ad = scorer.model
+    cfg = ad.config
+    questions = [DEFAULT_QWEN_QUESTION.format(f"a camera pan {j}")
+                 for j in range(batch)]
+    answers = [DEFAULT_QWEN_ANSWER for _ in range(batch)]
+
+    # ---- vision: exact batched-video program with pre-staged frames ----
+    frames0, _spg = ad._decode_video_raw(vids[0], ad.fps_default)
+    t, h0, w0 = frames0.shape[:3]
+    hb, wb = smart_resize(h0, w0, cfg.vision.patch_size * cfg.vision.merge_size,
+                          min_pixels=56 * 56, max_pixels=360 * 420)
+    tp = cfg.vision.temporal_patch_size
+    grid = (t // tp, hb // cfg.vision.patch_size, wb // cfg.vision.patch_size)
+    s = int(np.prod(grid))
+    sb = _bucket(s, PATCH_BUCKETS)
+    geom, pos_hw, win_seg, full_seg, reverse, win = _padded_geometry(
+        cfg.vision, grid, s, sb)
+    mu = cfg.vision.merge_unit
+    wd = ad.params["vision"]["patch_w"].dtype
+    decoded = [ad._decode_video_raw(p, ad.fps_default)[0] for p in vids]
+    stack = np.stack(decoded).reshape(batch, t, h0, w0 * 3)
+    stacks = [jnp.asarray(np.roll(stack, k, axis=0)) for k in range(iters)]
+    bcast = lambda a: jnp.asarray(np.broadcast_to(a, (batch, *a.shape)))
+    geo_args = (jnp.asarray(geom["perm"]), bcast(pos_hw), bcast(win_seg),
+                bcast(full_seg), bcast(reverse))
+    wina = [] if win is None else [bcast(w) for w in win]
+    vfn = ad._video_feats_jit(frames0.shape, hb, wb, grid, sb, wd)
+    np.asarray(vfn(ad.params, stacks[0], *geo_args, *wina)[0, 0, :1])  # warm
+    t0 = time.perf_counter()
+    outs = [vfn(ad.params, stacks[k], *geo_args, *wina) for k in range(iters)]
+    for o in outs:
+        np.asarray(o[0, 0, :1])
+    vis_ms = (time.perf_counter() - t0) * 1000 / iters
+
+    # ---- score: exact batched prefill program with pre-staged arrays ----
+    arrays, plens = ad._prepare_pairs(list(vids), questions)
+    ids, feats, vis_mask, vis_slot, pos, attn = arrays
+    ans_tok = [ad._encode_text(a) for a in answers]
+    a_max = max(len(a) for a in ans_tok)
+    seq = ids.shape[1]
+    full_ids = ids.copy()
+    ans_ids = np.zeros((batch, a_max), np.int64)
+    ans_pos = np.zeros((batch, a_max), np.int64)
+    ans_mask = np.zeros((batch, a_max), np.float32)
+    for j, (a, n) in enumerate(zip(ans_tok, plens)):
+        full_ids[j, n:n + len(a)] = a
+        attn[j, n:n + len(a)] = True
+        ans_ids[j, : len(a)] = a
+        ans_pos[j, : len(a)] = n - 1 + np.arange(len(a))
+        ans_mask[j, : len(a)] = 1.0
+        last = pos[:, j, n - 1].max()
+        for i in range(len(a)):
+            pos[:, j, n + i] = last + 1 + i
+    variants = []
+    for k in range(iters):
+        r = lambda a, ax=0: jnp.asarray(np.roll(a, k, axis=ax))
+        variants.append((r(full_ids), jnp.roll(feats, k, axis=0),
+                         r(vis_mask), r(vis_slot), r(pos, 1), r(attn),
+                         r(ans_ids), r(ans_pos), r(ans_mask)))
+    np.asarray(ad._score_jit(ad.params, *variants[0], temperature=1.0)[:1])
+    t0 = time.perf_counter()
+    outs = [ad._score_jit(ad.params, *variants[k], temperature=1.0)
+            for k in range(iters)]
+    for o in outs:
+        np.asarray(o[:1])
+    score_ms = (time.perf_counter() - t0) * 1000 / iters
+
+    dev_pps = batch / ((vis_ms + score_ms) / 1000)
+    fpp = qwen_video_flops_per_pair(cfg, s, seq)
+    peak = _peak_tflops(jax.devices()[0])
+    frames_mb = stack.nbytes / 1e6
+    return {"vision_ms_per_batch": round(vis_ms, 1),
+            "score_ms_per_batch": round(score_ms, 1),
+            "pairs_per_sec_per_chip": round(dev_pps, 3),
+            "mfu": round(dev_pps * fpp / (peak * 1e12), 3),
+            "frames_mb_per_batch": round(frames_mb, 1),
+            "patch_bucket": sb, "true_patches": s,
+            "note": "frames pre-staged on device; production vision+score "
+                    "programs looped with rotated inputs, fetch at end — "
+                    "the deployable rate on a PCIe-attached TPU host; "
+                    "e2e minus this is tunnel H2D + host prep"}
+
+
+def _qwen7b_projection(dev3b: dict, batch: int, iters: int = 4):
+    """qwen2.5-vl-7b component measurement at REAL dims (VERDICT r3 item 5;
+    BASELINE config 4 names the 7b, which needs a TP slice — AOT HBM fit
+    proven in parallel/deploy.py).
+
+    The 7b ViT tower IS the 3b tower (hidden 1280, depth 32; only the
+    2.4 MB merger differs — reference qwen2vl_model.py:116-133), so its
+    measured ms carries over. The decoder is measured here directly: one
+    REAL-dims 7b block (d_model=3584, 28 heads, kv 4, d_ff=18944) stacked
+    28x with shared weights in ONE dec.forward call (same buffer aliased
+    28x — XLA streams it per layer like distinct weights), plus the real
+    untied lm head at the answer position, at the video bench's
+    (batch, seq) shape.
+    """
+    import jax
+    import jax.numpy as jnp
+    from t2v_metrics_tpu.models import decoder as dec
+    from t2v_metrics_tpu.models.qwen2vl import QWEN2_VL_MODELS
+
+    cfg7 = QWEN2_VL_MODELS["qwen2.5-vl-7b"]["config"].text
+    seq = 896
+    key = jax.random.PRNGKey(1)
+    one = dataclasses_replace_layers(cfg7, 1)
+    p1 = dec.init_decoder(key, one, jnp.bfloat16)
+    params = {"embed": p1["embed"], "blocks": p1["blocks"] * cfg7.layers,
+              "ln_final": p1["ln_final"], "lm_head": p1["lm_head"]}
+    rng = np.random.default_rng(0)
+    embeds = [jnp.asarray(rng.normal(0, 1, (batch, seq, cfg7.d_model)),
+                          jnp.bfloat16) for _ in range(iters)]
+    posit = jnp.asarray(np.broadcast_to(np.arange(seq)[None, None],
+                                        (3, batch, seq)).copy())
+    mask = jnp.ones((batch, seq), bool)
+    lpos = jnp.full((batch, 1), seq - 1, jnp.int32)
+
+    fn = jax.jit(lambda p, e: dec.forward(p, cfg7, e, posit, mask,
+                                          logit_positions=lpos)[0])
+    np.asarray(fn(params, embeds[0])[:1, 0, :1])
+    t0 = time.perf_counter()
+    outs = [fn(params, embeds[k]) for k in range(iters)]
+    for o in outs:
+        np.asarray(o[:1, 0, :1])
+    dec_ms = (time.perf_counter() - t0) * 1000 / iters
+
+    total_ms = dev3b["vision_ms_per_batch"] + dec_ms
+    pps = batch / (total_ms / 1000)
+    eta = 0.85
+    return {"decoder_ms_per_batch": round(dec_ms, 1),
+            "vision_ms_per_batch_from_3b": dev3b["vision_ms_per_batch"],
+            "seq": seq,
+            "single_chip_equiv_pairs_per_sec": round(pps, 3),
+            "tp4_ici_efficiency_assumed": eta,
+            "tp4_pairs_per_sec_per_chip": round(eta * pps, 3),
+            "note": "7b decoder measured at real dims (one block aliased "
+                    "28x, real lm head, answer-position logits); vision "
+                    "tower identical to the measured 3b tower; tp4 "
+                    "pairs/s/chip = eta * single-chip-equivalent "
+                    "(derivation: docs/BENCH_PROTOCOL.md)"}
+
+
+def dataclasses_replace_layers(cfg, n):
+    import dataclasses
+
+    return dataclasses.replace(cfg, layers=n)
 
 
 def main():
@@ -376,22 +545,35 @@ def main():
     pixel_mb_per_chunk = probe.nbytes / 1e6
 
     # Video-path sub-benchmark (BASELINE config 4; skip with
-    # T2V_BENCH_VIDEO=0). Runs as a subprocess: the video model needs the
-    # chip's HBM to itself (clip-flant5 weights are still resident here).
-    # Failures must not sink the headline metric.
+    # T2V_BENCH_VIDEO=0) and the xxl piecewise real-dims projection
+    # (BASELINE config 3; skip with T2V_BENCH_XXL=0). Each runs as a
+    # subprocess: they need the chip's HBM to themselves (clip-flant5
+    # weights are still resident here). Failures must not sink the
+    # headline metric.
+    import subprocess
+    import sys
+
+    def _sub_json(argv, timeout):
+        r = None
+        try:
+            r = subprocess.run(argv, capture_output=True, text=True,
+                               timeout=timeout,
+                               env={**os.environ, "T2V_BENCH_VIDEO": "0",
+                                    "T2V_BENCH_XXL": "0"})
+            return json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:  # pragma: no cover
+            return {"error": f"{type(e).__name__}: {e}",
+                    "stderr": (r.stderr[-400:] if r is not None else "")}
+
     video = None
     if os.environ.get("T2V_BENCH_VIDEO", "1") == "1":
-        import subprocess
-        import sys
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--video-only"],
-                capture_output=True, text=True, timeout=1200,
-                env={**os.environ, "T2V_BENCH_VIDEO": "0"})
-            video = json.loads(r.stdout.strip().splitlines()[-1])
-        except Exception as e:  # pragma: no cover
-            video = {"error": f"{type(e).__name__}: {e}",
-                     "stderr": (r.stderr[-400:] if "r" in dir() else "")}
+        video = _sub_json([sys.executable, os.path.abspath(__file__),
+                           "--video-only"], 1200)
+    xxl = None
+    if os.environ.get("T2V_BENCH_XXL", "1") == "1":
+        xxl = _sub_json([sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts",
+            "xxl_piecewise.py")], 1800)
 
     print(json.dumps({
         "metric": f"GenAI-Bench image-text pairs/sec/chip ({args.model}, "
@@ -430,6 +612,7 @@ def main():
         "chips": n_chips,
         "kernel_probe": probe_info,
         "video": video,
+        "xxl_projection": xxl,
     }))
 
 

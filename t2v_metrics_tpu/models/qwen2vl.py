@@ -349,16 +349,32 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
         if not full and win_gather is not None:
             # dense-window attention: windows are contiguous runs of
             # <= cap rows in window order, so gather the rope'd packed
-            # rows into uniform (B*NW, cap) tiles, attend densely inside
-            # each window (tiny exact attention, no S^2 score tile), and
-            # scatter back. At video sizes the segment-masked full-S
-            # path computes ~50x more attention FLOPs than these tiles.
+            # rows into uniform tiles, attend densely inside each window
+            # (tiny exact attention, no S^2 score tile), and scatter
+            # back. At video sizes the segment-masked full-S path
+            # computes ~50x more attention FLOPs than these tiles.
+            #
+            # Windows of cap < 128 rows pack `group` windows per 128-row
+            # tile with per-row window segment ids: the Pallas flat
+            # kernel needs >=128-row tiles (below that the XLA reference
+            # path runs — profiled at ~2.5x the cost in f32 score
+            # matmuls + head transposes on the video shapes), and the
+            # segment mask keeps the windows exact inside the tile.
             nw = win_gather.shape[1] // cap
+            group = max(1, 128 // cap) if nw % max(1, 128 // cap) == 0 \
+                else 1
+            capg, nwg = cap * group, nw // group
             g = jnp.take(pk, win_gather[0], axis=1)       # (B, NW*cap, 3HD)
-            g = g.reshape(b * nw, cap, pk.shape[-1])
-            km = jnp.broadcast_to(win_valid[:1].reshape(1, nw, cap),
-                                  (b, nw, cap)).reshape(b * nw, cap)
-            aw = attention_flat_packed(g, cfg.heads, kv_mask=km)
+            g = g.reshape(b * nwg, capg, pk.shape[-1])
+            km = jnp.broadcast_to(win_valid[:1].reshape(1, nwg, capg),
+                                  (b, nwg, capg)).reshape(b * nwg, capg)
+            seg = None
+            if group > 1:
+                seg = jnp.broadcast_to(
+                    jnp.repeat(jnp.arange(group, dtype=jnp.int32), cap)
+                    [None], (b * nwg, capg))
+            aw = attention_flat_packed(g, cfg.heads, kv_mask=km,
+                                       segment_ids=seg)
             a = jnp.take(aw.reshape(b, nw * cap, -1), win_scatter[0],
                          axis=1)
         else:

@@ -37,8 +37,17 @@ DEFAULT_QWEN_ANSWER = "Yes"
 _CHAT_PRE = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n"
 _CHAT_POST = "{question}<|im_end|>\n<|im_start|>assistant\n"
 
-SEQ_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
-PATCH_BUCKETS = (256, 512, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384)
+# Bucket spacing bounds padded-compute waste to <=12.5% per step (the old
+# coarse tables cost up to 29% on real video shapes: 3168 ViT patches ->
+# 4096, 830-token prefill -> 1024; profiled as the largest video-MFU
+# sink). Finer buckets mean more compile variants across a mixed-shape
+# dataset — bounded by the per-step ratio and amortized by the persistent
+# compile cache (compile_cache.py).
+SEQ_BUCKETS = (128, 256, 384, 512, 640, 768, 896, 1024, 1152, 1280, 1536,
+               1792, 2048, 2304, 2560, 3072, 3584, 4096)
+PATCH_BUCKETS = (256, 512, 768, 1024, 1280, 1536, 1792, 2048, 2304, 2560,
+                 2816, 3072, 3328, 3584, 4096, 4608, 5120, 6144, 7168, 8192,
+                 10240, 12288, 14336, 16384)
 
 
 def _bucket(n, buckets):
@@ -53,6 +62,29 @@ def _bucket(n, buckets):
 # T2V_QWEN_WIN_DENSE=0 restores the segment-mask path.
 import os as _os
 WIN_DENSE = _os.environ.get("T2V_QWEN_WIN_DENSE", "1") == "1"
+
+
+def _padded_geometry(cfg_vision, grid, s, sb):
+    """Host geometry for one (grid, patch-bucket) vision shape: window
+    permutation, rotary ids, segment ids and dense-window maps, all padded
+    to the bucket. Shared by the adapter's batched vision path and the
+    bench's device-only probe."""
+    mu = cfg_vision.merge_unit
+    geom = q.vision_geometry(grid, cfg_vision)
+    pad = sb - s
+    pos_hw = np.concatenate([geom["pos_hw"],
+                             np.zeros((pad, 2), np.int32)]) \
+        if pad else geom["pos_hw"]
+    win_seg = np.concatenate([geom["win_seg"],
+                              np.full(pad, -1, np.int32)]) \
+        if pad else geom["win_seg"]
+    full_seg = np.concatenate([np.zeros(s, np.int32),
+                               np.full(pad, -1, np.int32)])
+    reverse = np.concatenate([geom["reverse"],
+                              np.arange(s // mu, sb // mu,
+                                        dtype=np.int32)])
+    return (geom, pos_hw, win_seg, full_seg, reverse,
+            _padded_windows(geom, s, sb))
 
 
 def _padded_windows(geom, s, sb):
@@ -248,22 +280,7 @@ class Qwen2VLAdapter(VQAScoreModel):
             groups.setdefault((h[0], h[1].shape), []).append(i)
 
         def _padded_geom(grid, s, sb):
-            mu = cfg.vision.merge_unit
-            geom = q.vision_geometry(grid, cfg.vision)
-            pad = sb - s
-            pos_hw = np.concatenate([geom["pos_hw"],
-                                     np.zeros((pad, 2), np.int32)]) \
-                if pad else geom["pos_hw"]
-            win_seg = np.concatenate([geom["win_seg"],
-                                      np.full(pad, -1, np.int32)]) \
-                if pad else geom["win_seg"]
-            full_seg = np.concatenate([np.zeros(s, np.int32),
-                                       np.full(pad, -1, np.int32)])
-            reverse = np.concatenate([geom["reverse"],
-                                      np.arange(s // mu, sb // mu,
-                                                dtype=np.int32)])
-            return (geom, pos_hw, win_seg, full_seg, reverse,
-                    _padded_windows(geom, s, sb))
+            return _padded_geometry(cfg.vision, grid, s, sb)
 
         mu = cfg.vision.merge_unit
         for (kind, shape), idxs in groups.items():
