@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
+from ..ops import rope as rope_ops
 from ..ops.attention import (attention, attention_flat,
                              attention_flat_packed)
 
@@ -124,21 +125,39 @@ def _rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+# Rope compute dtype. The HF reference upcasts q/k to f32 around the
+# rotation; with bf16 activations that materializes 2x-wide intermediates
+# and XLA emits the chain as ~5 full HBM passes per layer (profiled at
+# ~2.4 ms/layer on the Qwen video vision tower — rivaling the layer's
+# matmuls). T2V_ROPE_COMPUTE=activation (default) keeps the rotation in
+# the activation dtype: elementwise VPU math runs at f32 precision
+# in-register either way, so the only numerics delta is the final-sum
+# rounding (<=2^-8 relative, swamped by the bf16 matmuls downstream) —
+# while halving the chain's HBM traffic and letting XLA fuse it tightly.
+# Under f32 activations (all CPU parity suites) the two modes are
+# identical. T2V_ROPE_COMPUTE=f32 restores the materialized-f32 chain.
+import os as _os
+
+_ROPE_F32 = _os.environ.get("T2V_ROPE_COMPUTE", "activation") == "f32"
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """x: (B, H, S, D); cos/sin: (B, S, D)."""
-    c = cos[:, None].astype(jnp.float32)
-    s = sin[:, None].astype(jnp.float32)
-    x32 = x.astype(jnp.float32)
-    return ((x32 * c) + (_rotate_half(x32) * s)).astype(x.dtype)
+    ct = jnp.float32 if _ROPE_F32 else x.dtype
+    c = cos[:, None].astype(ct)
+    s = sin[:, None].astype(ct)
+    xc = x.astype(ct)
+    return ((xc * c) + (_rotate_half(xc) * s)).astype(x.dtype)
 
 
 def apply_rope_bshd(x: jnp.ndarray, cos: jnp.ndarray,
                     sin: jnp.ndarray) -> jnp.ndarray:
     """x: (B, S, H, D) — head-major layout; cos/sin: (B, S, D)."""
-    c = cos[:, :, None].astype(jnp.float32)
-    s = sin[:, :, None].astype(jnp.float32)
-    x32 = x.astype(jnp.float32)
-    return ((x32 * c) + (_rotate_half(x32) * s)).astype(x.dtype)
+    ct = jnp.float32 if _ROPE_F32 else x.dtype
+    c = cos[:, :, None].astype(ct)
+    s = sin[:, :, None].astype(ct)
+    xc = x.astype(ct)
+    return ((xc * c) + (_rotate_half(xc) * s)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -165,16 +184,22 @@ def _attn(p, cfg: DecoderConfig, x, cos, sin, mask, cache_layer=None,
         b_qkv = (jnp.concatenate(bs_)
                  if all(bb is not None for bb in bs_) else None)
         packed = L.linear(x, w_qkv, b_qkv)
-        qk = packed[..., : (h + kvh) * d].reshape(b, s, h + kvh, d)
-        if cfg.qk_norm:
-            sc = jnp.concatenate(
-                [jnp.broadcast_to(p["q_norm"]["scale"], (h, d)),
-                 jnp.broadcast_to(p["k_norm"]["scale"], (kvh, d))])
-            qk = L.rms_norm(qk, sc, cfg.rms_eps, offset=cfg.rms_offset,
-                            cast_weight_dtype=cfg.rms_cast_weight)
-        qk = apply_rope_bshd(qk, cos, sin)
-        pk = jnp.concatenate(
-            [qk.reshape(b, s, -1), packed[..., (h + kvh) * d:]], axis=-1)
+        if not cfg.qk_norm and rope_ops.use_kernel(
+                b, s, packed.shape[-1], h + kvh, d):
+            # fused rope on the q|k lane region: 1 HBM read + 1 write
+            # (the jnp chain below is ~4 full-tensor passes per layer)
+            pk = rope_ops.rope_pack(packed, cos, sin, h + kvh, d)
+        else:
+            qk = packed[..., : (h + kvh) * d].reshape(b, s, h + kvh, d)
+            if cfg.qk_norm:
+                sc = jnp.concatenate(
+                    [jnp.broadcast_to(p["q_norm"]["scale"], (h, d)),
+                     jnp.broadcast_to(p["k_norm"]["scale"], (kvh, d))])
+                qk = L.rms_norm(qk, sc, cfg.rms_eps, offset=cfg.rms_offset,
+                                cast_weight_dtype=cfg.rms_cast_weight)
+            qk = apply_rope_bshd(qk, cos, sin)
+            pk = jnp.concatenate(
+                [qk.reshape(b, s, -1), packed[..., (h + kvh) * d:]], axis=-1)
         out = attention_flat_packed(pk, h, kv_heads=kvh, kv_mask=mask,
                                     causal=True, scale=scale,
                                     local_window=local_window,
@@ -369,7 +394,8 @@ def forward(params: Params, cfg: DecoderConfig, embeds: jnp.ndarray,
     x = _norm(x, params["ln_final"])
     xh = x
     if logit_positions is not None:
-        xh = jnp.take_along_axis(x, logit_positions[..., None], axis=1)
+        xh = jnp.take_along_axis(x, logit_positions[..., None], axis=1,
+                                 mode="clip")
     if cfg.tie_embeddings:
         logits = xh @ params["embed"].T
     else:

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layers as L
+from ..ops import rope as rope_ops
 from ..ops.attention import attention_flat, attention_flat_packed
 from . import decoder as dec
 
@@ -209,22 +210,56 @@ def vision_geometry(grid_thw: tuple, cfg: QwenVisionConfig):
     # per-patch window segment ids (window order)
     win_seg = np.repeat(np.arange(len(seqlens)), seqlens * mu)
 
-    # dense-window layout: windows are contiguous runs of <= ws*ws*mu
-    # patch rows in window order, so the 28-of-32 windowed layers can
-    # gather rows into a uniform (NW, ws*ws*mu) tile, run tiny dense
-    # attention per window, and scatter back — instead of full-S^2 flash
-    # with segment masking (which wastes ~98% of attention FLOPs+VPU at
-    # video sizes: window 64 of S~3000).
+    # dense-window layout: windows are contiguous runs of patch rows in
+    # window order, so the 28-of-32 windowed layers can gather rows into
+    # uniform 128-row tiles, run tiny dense attention per tile (window
+    # segment ids keep co-tiled windows exact), and scatter back —
+    # instead of full-S^2 flash with segment masking (which wastes ~98%
+    # of attention FLOPs+VPU at video sizes: window 64 of S~3000).
+    #
+    # Windows bin-pack first-fit-decreasing into the tiles (windows are
+    # independent, so tile membership and order are free): at the video
+    # bench grid this fills 3168 true rows into 25 tiles (99% occupancy)
+    # vs 36 one-window-per-tile tiles (69%) — proportionally less gather
+    # traffic and fewer attention FLOPs. Gather/scatter indices are flat
+    # over (tile*TR + slot) so the device gather runs on 2D (B*S, lanes)
+    # row-major views — XLA's take-along-sequence emits an
+    # index-major-layout gather + full transpose copy otherwise
+    # (~0.9 ms/layer profiled at video sizes).
     counts = (seqlens * mu).astype(np.int64)           # patches per window
     cap = ws * ws * mu                                 # window capacity
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    j = np.arange(cap)
-    win_gather = (starts[:, None]
-                  + np.minimum(j[None, :], counts[:, None] - 1)).reshape(-1)
-    win_valid = (j[None, :] < counts[:, None]).reshape(-1)
     S = int(counts.sum())
-    win_scatter = (np.repeat(np.arange(len(counts)) * cap, counts)
-                   + (np.arange(S) - np.repeat(starts, counts)))
+    # TR is fixed at the Pallas flat kernel's minimum q-tile (128 rows);
+    # every Qwen2.5-VL window fits (cap = (112/2/14)^2 * 4 = 64). A config
+    # with cap > 128 gets no tile arrays and runs the segment-masked
+    # full-S path instead (_padded_windows returns None on win_tr != 128).
+    TR = 128 if cap <= 128 else -(-cap // 128) * 128   # tile rows
+    order = np.argsort(-counts, kind="stable")
+    tile_of = np.zeros(len(counts), np.int64)
+    slot_of = np.zeros(len(counts), np.int64)          # start slot in tile
+    remaining: list = []
+    for w in order:
+        c = int(counts[w])
+        for ti in range(len(remaining)):
+            if remaining[ti] >= c:
+                break
+        else:
+            remaining.append(TR)
+            ti = len(remaining) - 1
+        tile_of[w] = ti
+        slot_of[w] = TR - remaining[ti]
+        remaining[ti] -= c
+    nt = len(remaining)
+    win_gather = np.zeros(nt * TR, np.int64)           # pad -> row 0 (clip)
+    win_tseg = np.full(nt * TR, -1, np.int64)          # pad -> no segment
+    win_scatter = np.zeros(S, np.int64)
+    for w in range(len(counts)):
+        c = int(counts[w])
+        dst = tile_of[w] * TR + slot_of[w] + np.arange(c)
+        win_gather[dst] = starts[w] + np.arange(c)
+        win_tseg[dst] = w
+        win_scatter[starts[w]:starts[w] + c] = dst
 
     reverse = np.argsort(window_index)
     return {
@@ -233,9 +268,9 @@ def vision_geometry(grid_thw: tuple, cfg: QwenVisionConfig):
         "pos_hw": pos_hw[perm].astype(np.int32),
         "win_seg": win_seg.astype(np.int32),
         "win_gather": win_gather.astype(np.int32),
-        "win_valid": win_valid,
+        "win_tseg": win_tseg.astype(np.int32),
         "win_scatter": win_scatter.astype(np.int32),
-        "win_cap": cap,
+        "win_tr": TR,
     }
 
 
@@ -285,12 +320,12 @@ def vision_tower(params: Params, cfg: QwenVisionConfig,
                  full_seg: jnp.ndarray,     # (S,) image segment ids, -1 = pad
                  reverse: jnp.ndarray,      # (S/mu,) un-permutation
                  win_gather: jnp.ndarray | None = None,
-                 win_valid: jnp.ndarray | None = None,
+                 win_tseg: jnp.ndarray | None = None,
                  win_scatter: jnp.ndarray | None = None,
                  ) -> jnp.ndarray:
     """-> (S/merge_unit, out_hidden) merged features in original order."""
     wg = None if win_gather is None else win_gather[None]
-    wv = None if win_valid is None else win_valid[None]
+    wv = None if win_tseg is None else win_tseg[None]
     ws_ = None if win_scatter is None else win_scatter[None]
     return vision_tower_batch(params, cfg, patches[None], pos_hw[None],
                               win_seg[None], full_seg[None], reverse[None],
@@ -303,8 +338,8 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
                        win_seg: jnp.ndarray,    # (B, S) segs, -1 = pad
                        full_seg: jnp.ndarray,   # (B, S) segs, -1 = pad
                        reverse: jnp.ndarray,    # (B, S/mu) un-permutation
-                       win_gather: jnp.ndarray | None = None,  # (B, NW*cap)
-                       win_valid: jnp.ndarray | None = None,   # (B, NW*cap)
+                       win_gather: jnp.ndarray | None = None,  # (B, NT*TR)
+                       win_tseg: jnp.ndarray | None = None,    # (B, NT*TR)
                        win_scatter: jnp.ndarray | None = None,  # (B, S)
                        ) -> jnp.ndarray:
     """Batched variant: B same-shape visuals through one call.
@@ -341,42 +376,47 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
         packed = L.linear(h, w_qkv, b_qkv)
         b, s, _ = packed.shape
         hd = cfg.heads * cfg.head_dim
-        qk = dec.apply_rope_bshd(
-            packed[..., : 2 * hd].reshape(b, s, 2 * cfg.heads, cfg.head_dim),
-            cos, sin)
-        pk = jnp.concatenate([qk.reshape(b, s, -1), packed[..., 2 * hd:]],
-                             axis=-1)
+        if rope_ops.use_kernel(b, s, packed.shape[-1], 2 * cfg.heads,
+                               cfg.head_dim):
+            # fused rope on the q|k lane region: 1 HBM read + 1 write
+            # (the jnp chain below is ~4 full-tensor passes per layer)
+            pk = rope_ops.rope_pack(packed, cos, sin, 2 * cfg.heads,
+                                    cfg.head_dim)
+        else:
+            qk = dec.apply_rope_bshd(
+                packed[..., : 2 * hd].reshape(b, s, 2 * cfg.heads,
+                                              cfg.head_dim),
+                cos, sin)
+            pk = jnp.concatenate([qk.reshape(b, s, -1),
+                                  packed[..., 2 * hd:]], axis=-1)
         if not full and win_gather is not None:
-            # dense-window attention: windows are contiguous runs of
-            # <= cap rows in window order, so gather the rope'd packed
-            # rows into uniform tiles, attend densely inside each window
-            # (tiny exact attention, no S^2 score tile), and scatter
-            # back. At video sizes the segment-masked full-S path
-            # computes ~50x more attention FLOPs than these tiles.
+            # dense-window attention: rows gather into bin-packed 128-row
+            # tiles (several windows per tile, exact via per-row window
+            # segment ids — see vision_geometry), attend densely inside
+            # each tile (tiny exact attention, no S^2 score tile), and
+            # scatter back. At video sizes the segment-masked full-S
+            # path computes ~50x more attention FLOPs than these tiles.
             #
-            # Windows of cap < 128 rows pack `group` windows per 128-row
-            # tile with per-row window segment ids: the Pallas flat
-            # kernel needs >=128-row tiles (below that the XLA reference
-            # path runs — profiled at ~2.5x the cost in f32 score
-            # matmuls + head transposes on the video shapes), and the
-            # segment mask keeps the windows exact inside the tile.
-            nw = win_gather.shape[1] // cap
-            group = max(1, 128 // cap) if nw % max(1, 128 // cap) == 0 \
-                else 1
-            capg, nwg = cap * group, nw // group
-            g = jnp.take(pk, win_gather[0], axis=1)       # (B, NW*cap, 3HD)
-            g = g.reshape(b * nwg, capg, pk.shape[-1])
-            km = jnp.broadcast_to(win_valid[:1].reshape(1, nwg, capg),
-                                  (b, nwg, capg)).reshape(b * nwg, capg)
-            seg = None
-            if group > 1:
-                seg = jnp.broadcast_to(
-                    jnp.repeat(jnp.arange(group, dtype=jnp.int32), cap)
-                    [None], (b * nwg, capg))
-            aw = attention_flat_packed(g, cfg.heads, kv_mask=km,
-                                       segment_ids=seg)
-            a = jnp.take(aw.reshape(b, nw * cap, -1), win_scatter[0],
-                         axis=1)
+            # Both gathers run on flat (B*rows, lanes) 2D views with
+            # per-batch offset indices: a take along the sequence axis of
+            # the 3D array lowers to an index-major-layout gather plus a
+            # full transpose copy (~0.9 ms/layer at video sizes), while
+            # the flat row gather keeps row-major layout end to end.
+            # mode="clip" (indices are pre-clamped in-range; pad slots
+            # read row 0 and are excluded by segment id -1): the default
+            # fill mode emits a pred + full-tensor select per gather.
+            ntr = win_gather.shape[1]
+            off = jnp.arange(b, dtype=jnp.int32)[:, None]
+            g = jnp.take(pk.reshape(b * s, -1),
+                         (win_gather[0][None] + off * s).reshape(-1),
+                         axis=0, mode="clip")         # (B*NT*TR, 3HD)
+            g = g.reshape(-1, 128, pk.shape[-1])
+            seg = jnp.broadcast_to(win_tseg[:1].reshape(1, ntr // 128, 128),
+                                   (b, ntr // 128, 128)).reshape(-1, 128)
+            aw = attention_flat_packed(g, cfg.heads, segment_ids=seg)
+            a = jnp.take(aw.reshape(b * ntr, -1),
+                         (win_scatter[0][None] + off * ntr).reshape(-1),
+                         axis=0, mode="clip").reshape(b, s, -1)
         else:
             a = attention_flat_packed(pk, cfg.heads, segment_ids=seg)
         x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])
@@ -392,7 +432,8 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
     x = L.linear(x, params["merger"]["fc1"]["w"], params["merger"]["fc1"]["b"])
     x = L.ACT_FNS["gelu"](x)
     x = L.linear(x, params["merger"]["fc2"]["w"], params["merger"]["fc2"]["b"])
-    return jnp.take_along_axis(x, reverse[..., None], axis=1)
+    return jnp.take_along_axis(x, reverse[..., None], axis=1,
+                              mode="clip")
 
 
 def splice_and_score(params: Params, cfg: Qwen2VLConfig,
@@ -412,12 +453,14 @@ def splice_and_score(params: Params, cfg: Qwen2VLConfig,
     answer token i (i.e. position of that token minus one).
     """
     tok = params["decoder"]["embed"][ids]
-    vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1)
+    vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1,
+                              mode="clip")
     embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
                             attn_mask, logit_positions=ans_pos)  # (B, A, V)
     logp = jax.nn.log_softmax(logits / temperature, axis=-1)  # fp32
-    tok_logp = jnp.take_along_axis(logp, ans_ids[..., None], axis=-1)[..., 0]
+    tok_logp = jnp.take_along_axis(logp, ans_ids[..., None], axis=-1,
+                                   mode="clip")[..., 0]
     tok_logp = tok_logp * ans_mask
     return tok_logp.sum(-1) / jnp.maximum(ans_mask.sum(-1), 1)
 
@@ -431,7 +474,8 @@ def splice_and_answer_dists(params: Params, cfg: Qwen2VLConfig,
     test_teacher_vs_rollout.py harness targets a method absent from the
     v3.1 checkout; rebuilt here)."""
     tok = params["decoder"]["embed"][ids]
-    vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1)
+    vis = jnp.take_along_axis(vis_feats, vis_slot[..., None], axis=1,
+                              mode="clip")
     embeds = jnp.where(vis_mask[..., None], vis.astype(tok.dtype), tok)
     logits, _ = dec.forward(params["decoder"], cfg.text, embeds, position_ids,
                             attn_mask, logit_positions=ans_pos)  # (B, A, V)

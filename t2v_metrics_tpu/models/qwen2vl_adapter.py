@@ -88,27 +88,28 @@ def _padded_geometry(cfg_vision, grid, s, sb):
 
 
 def _padded_windows(geom, s, sb):
-    """Pad the dense-window gather/scatter arrays: the window count to a
-    multiple of 8 (bounds compile variants per patch bucket) and the
-    scatter map to the padded patch bucket (pad rows read slot 0 —
-    garbage rows beyond s are dropped downstream). Returns None when the
-    dense-window path is disabled."""
-    if not WIN_DENSE:
+    """Pad the dense-window tile arrays: the tile count to a multiple of
+    4 (bounds compile variants per patch bucket; pad tiles gather row 0
+    under segment id -1) and the scatter map to the padded patch bucket
+    (pad rows read slot 0 — garbage rows beyond s are dropped
+    downstream). Returns None when the dense-window path is disabled or
+    the config's window capacity exceeds the 128-row tile."""
+    if not WIN_DENSE or geom.get("win_tr") != 128:
         return None
-    cap = geom["win_cap"]
-    nw = len(geom["win_gather"]) // cap
-    nwp = -(-nw // 8) * 8
-    extra = (nwp - nw) * cap
+    tr = geom["win_tr"]
+    nt = len(geom["win_gather"]) // tr
+    ntp = -(-nt // 4) * 4
+    extra = (ntp - nt) * tr
     wg = np.concatenate([geom["win_gather"],
                          np.zeros(extra, np.int32)]) if extra \
         else geom["win_gather"]
-    wv = np.concatenate([geom["win_valid"],
-                         np.zeros(extra, bool)]) if extra \
-        else geom["win_valid"]
+    wt = np.concatenate([geom["win_tseg"],
+                         np.full(extra, -1, np.int32)]) if extra \
+        else geom["win_tseg"]
     wsc = np.concatenate([geom["win_scatter"],
                           np.zeros(sb - s, np.int32)]) if sb > s \
         else geom["win_scatter"]
-    return wg, wv, wsc
+    return wg, wt, wsc
 
 
 class Qwen2VLAdapter(VQAScoreModel):

@@ -335,7 +335,8 @@ def answer_log_probs(params: Params, cfg: T5Config,
     dec_in = jnp.concatenate([start, answer_ids[:, :-1]], axis=1)
     logits = decode(params, cfg, dec_in, enc_hidden, enc_mask)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    tok_logp = jnp.take_along_axis(logp, answer_ids[..., None], axis=-1)[..., 0]
+    tok_logp = jnp.take_along_axis(logp, answer_ids[..., None], axis=-1,
+                                   mode="clip")[..., 0]
     tok_logp = tok_logp * answer_mask
     return tok_logp.sum(-1) / jnp.maximum(answer_mask.sum(-1), 1)
 

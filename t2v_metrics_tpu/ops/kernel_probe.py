@@ -32,7 +32,7 @@ import sys
 # Ordered most-critical first: a probe crash loses the cases after the
 # crashing one, and missing cases are treated as failures (conservative).
 CASES = ("packed_bias", "packed_causal_gqa", "packed_segment", "flat",
-         "fused_ln")
+         "fused_ln", "rope_pack")
 
 _TOL = 0.06  # bf16 softmax-weighted outputs; real lowering bugs are O(1)
 
@@ -50,6 +50,28 @@ def _run_case(name: str) -> str:
 
     from . import attention as A
     from . import norms as N
+
+    if name == "rope_pack":
+        from . import rope as R
+        from ..models import decoder as dec
+
+        h, kvh, d, s = 16, 2, 80, 256  # ViT-like d=80 + GQA lane split
+        pk = jnp.asarray(_mk((2, s, (h + 2 * kvh) * d), 5)) \
+            .astype(jnp.bfloat16)
+        pos = _mk((2, s), 6, 256.0)
+        half = d // 2
+        inv = 1.0 / (10000.0 ** (np.arange(0, half, dtype=np.float32) / half))
+        emb = np.concatenate([pos[..., None] * inv] * 2, axis=-1)
+        cos, sin = jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+        got = np.asarray(R.rope_pack(pk, cos, sin, h + kvh, d), np.float32)
+        qk = pk[..., : (h + kvh) * d].reshape(2, s, h + kvh, d)
+        qk = dec.apply_rope_bshd(qk.astype(jnp.float32), cos, sin)
+        ref = np.concatenate(
+            [np.asarray(qk, np.float32).reshape(2, s, -1),
+             np.asarray(pk[..., (h + kvh) * d:], np.float32)], axis=-1)
+        diff = float(np.max(np.abs(got - ref)))
+        return f"ok maxdiff={diff:.2e}" if diff < 0.02 else \
+            f"MISMATCH maxdiff={diff:.2e}"
 
     if name == "fused_ln":
         x = jnp.asarray(_mk((256, 2048), 0, 1.0))
@@ -150,6 +172,8 @@ def _decide_fallbacks(results: dict) -> list:
         actions.append("no_packed")
     if bad("fused_ln"):
         actions.append("no_fused_ln")
+    if bad("rope_pack"):
+        actions.append("no_rope_kernel")
     return actions
 
 
@@ -169,6 +193,11 @@ def _apply_fallbacks(actions) -> None:
     if "no_fused_ln" in actions:
         os.environ["T2V_FUSED_LN"] = "0"
         N.FUSED_LN = False
+    if "no_rope_kernel" in actions:
+        from . import rope as R
+
+        os.environ["T2V_ROPE_KERNEL"] = "0"
+        R.ROPE_KERNEL = False
 
 
 def probe_and_set_fallbacks(timeout_s: int = 600) -> dict:
