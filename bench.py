@@ -170,12 +170,37 @@ def bench_qwen_video(model: str = "qwen2.5-vl-3b", n_videos: int = 24,
         ad._decode_video_raw(p, ad.fps_default)
     decode_ms = (time.perf_counter() - t0) * 1000 / n_videos
 
-    dev = _video_device_only(scorer, paths[:batch], batch)
+    dev = _video_device_only(scorer, paths[:batch], batch, profile=profile)
     proj7b = _qwen7b_projection(dev, batch)
+
+    # H2D probe at this run's frame payload: raw uint8 frames for one batch
+    # forced through the wire (the tiny fetch is the only real sync point).
+    # When the tunnel sustains less than frames_mb_per_batch / device-
+    # seconds-per-batch, e2e is transfer-bound — the chip-side number is
+    # device_only (real TPU hosts feed frames over PCIe at GB/s).
+    frames_mb = dev["frames_mb_per_batch"]
+    h2d_mbps = 0.0
+    for k in range(2):  # best of 2: single probes absorb steal spikes
+        probe = np.random.default_rng(k).integers(
+            0, 255, (batch, 16, 240, 960), dtype=np.uint8)
+        t0 = time.perf_counter()
+        dprobe = jnp.asarray(probe)
+        np.asarray(dprobe[0, 0, :1])
+        h2d_mbps = max(h2d_mbps, probe.nbytes / 1e6
+                       / (time.perf_counter() - t0))
+    # The one-shot probe pays ~2 tunnel RTTs (~64 ms) that pipelined
+    # in-run transfers don't, so it is a LOWER bound on bandwidth; flag
+    # transfer_bound only when e2e actually fell short of the chip rate.
+    transfer_limit = h2d_mbps / frames_mb * batch
 
     return {"model": model,
             "device_only": dev,
             "qwen7b_projection": proj7b,
+            "h2d_mb_per_s_probe": round(h2d_mbps, 1),
+            "transfer_bound": bool(
+                pps < 0.9 * dev["pairs_per_sec_per_chip"]
+                and transfer_limit < dev["pairs_per_sec_per_chip"]),
+            "transfer_limit_pairs_per_sec": round(transfer_limit, 1),
             "host_decode_ms_per_video": round(decode_ms, 1),
             "pairs_per_sec_per_chip": round(pps, 3),
             "n_videos": n_videos, "batch": batch,
@@ -189,7 +214,8 @@ def bench_qwen_video(model: str = "qwen2.5-vl-3b", n_videos: int = 24,
                     "A100 class for short clips)"}
 
 
-def _video_device_only(scorer, vids, batch, iters: int = 6):
+def _video_device_only(scorer, vids, batch, iters: int = 6,
+                       profile: bool = False):
     """Pure-device video scoring rate: frames pre-staged on device, the
     exact production vision + score programs looped with rotated inputs
     (the tunnel caches identical executions), one fetch at the end.
@@ -233,6 +259,9 @@ def _video_device_only(scorer, vids, batch, iters: int = 6):
     wina = [] if win is None else [bcast(w) for w in win]
     vfn = ad._video_feats_jit(frames0.shape, hb, wb, grid, sb, wd)
     np.asarray(vfn(ad.params, stacks[0], *geo_args, *wina)[0, 0, :1])  # warm
+    ctx = jax.profiler.trace("./profile_trace_video") if profile else None
+    if ctx is not None:
+        ctx.__enter__()
     t0 = time.perf_counter()
     outs = [vfn(ad.params, stacks[k], *geo_args, *wina) for k in range(iters)]
     for o in outs:
@@ -271,6 +300,8 @@ def _video_device_only(scorer, vids, batch, iters: int = 6):
     for o in outs:
         np.asarray(o[:1])
     score_ms = (time.perf_counter() - t0) * 1000 / iters
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
 
     dev_pps = batch / ((vis_ms + score_ms) / 1000)
     fpp = qwen_video_flops_per_pair(cfg, s, seq)
