@@ -246,7 +246,7 @@ def _video_device_only(scorer, vids, batch, iters: int = 6,
     grid = (t // tp, hb // cfg.vision.patch_size, wb // cfg.vision.patch_size)
     s = int(np.prod(grid))
     sb = _bucket(s, PATCH_BUCKETS)
-    geom, pos_hw, win_seg, full_seg, reverse, win = _padded_geometry(
+    geom, pos_hw, win_seg, full_seg, reverse, tiled = _padded_geometry(
         cfg.vision, grid, s, sb)
     mu = cfg.vision.merge_unit
     wd = ad.params["vision"]["patch_w"].dtype
@@ -254,16 +254,16 @@ def _video_device_only(scorer, vids, batch, iters: int = 6,
     stack = np.stack(decoded).reshape(batch, t, h0, w0 * 3)
     stacks = [jnp.asarray(np.roll(stack, k, axis=0)) for k in range(iters)]
     bcast = lambda a: jnp.asarray(np.broadcast_to(a, (batch, *a.shape)))
-    geo_args = (jnp.asarray(geom["perm"]), bcast(pos_hw), bcast(win_seg),
+    perm = geom["perm_tile"] if tiled else geom["perm"]
+    geo_args = (jnp.asarray(perm), bcast(pos_hw), bcast(win_seg),
                 bcast(full_seg), bcast(reverse))
-    wina = [] if win is None else [bcast(w) for w in win]
-    vfn = ad._video_feats_jit(frames0.shape, hb, wb, grid, sb, wd)
-    np.asarray(vfn(ad.params, stacks[0], *geo_args, *wina)[0, 0, :1])  # warm
+    vfn = ad._video_feats_jit(frames0.shape, hb, wb, grid, sb, wd, tiled)
+    np.asarray(vfn(ad.params, stacks[0], *geo_args)[0, 0, :1])  # warm
     ctx = jax.profiler.trace("./profile_trace_video") if profile else None
     if ctx is not None:
         ctx.__enter__()
     t0 = time.perf_counter()
-    outs = [vfn(ad.params, stacks[k], *geo_args, *wina) for k in range(iters)]
+    outs = [vfn(ad.params, stacks[k], *geo_args) for k in range(iters)]
     for o in outs:
         np.asarray(o[0, 0, :1])
     vis_ms = (time.perf_counter() - t0) * 1000 / iters

@@ -210,22 +210,21 @@ def vision_geometry(grid_thw: tuple, cfg: QwenVisionConfig):
     # per-patch window segment ids (window order)
     win_seg = np.repeat(np.arange(len(seqlens)), seqlens * mu)
 
-    # dense-window layout: windows are contiguous runs of patch rows in
-    # window order, so the 28-of-32 windowed layers can gather rows into
-    # uniform 128-row tiles, run tiny dense attention per tile (window
-    # segment ids keep co-tiled windows exact), and scatter back —
-    # instead of full-S^2 flash with segment masking (which wastes ~98%
-    # of attention FLOPs+VPU at video sizes: window 64 of S~3000).
-    #
-    # Windows bin-pack first-fit-decreasing into the tiles (windows are
-    # independent, so tile membership and order are free): at the video
-    # bench grid this fills 3168 true rows into 25 tiles (99% occupancy)
-    # vs 36 one-window-per-tile tiles (69%) — proportionally less gather
-    # traffic and fewer attention FLOPs. Gather/scatter indices are flat
-    # over (tile*TR + slot) so the device gather runs on 2D (B*S, lanes)
-    # row-major views — XLA's take-along-sequence emits an
-    # index-major-layout gather + full transpose copy otherwise
-    # (~0.9 ms/layer profiled at video sizes).
+    # dense-window tile layout: windows are contiguous runs of patch rows
+    # in window order and independent of each other, so they bin-pack
+    # first-fit-decreasing into uniform 128-row tiles (at the video bench
+    # grid: 3168 true rows into 25 tiles, 99% occupancy, vs 36
+    # one-window-per-tile tiles at 69%). The adapter composes the WHOLE
+    # tower's row domain through this layout on the host
+    # (qwen2vl_adapter._padded_geometry): the patch permutation, rotary
+    # ids, segment ids and merger un-permutation all pre-gathered, so the
+    # 28-of-32 windowed layers run tiny dense attention per tile as a
+    # pure reshape — no device gathers at all — instead of full-S^2
+    # flash with segment masking (which wastes ~98% of attention
+    # FLOPs+VPU at video sizes: window 64 of S~3000). win_gather /
+    # win_scatter below are the host-side composition maps (window-order
+    # row -> tile slot and back); win_tseg carries per-slot window ids
+    # with -1 on pad slots.
     counts = (seqlens * mu).astype(np.int64)           # patches per window
     cap = ws * ws * mu                                 # window capacity
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -319,17 +318,12 @@ def vision_tower(params: Params, cfg: QwenVisionConfig,
                  win_seg: jnp.ndarray,      # (S,) window segment ids, -1 = pad
                  full_seg: jnp.ndarray,     # (S,) image segment ids, -1 = pad
                  reverse: jnp.ndarray,      # (S/mu,) un-permutation
-                 win_gather: jnp.ndarray | None = None,
-                 win_tseg: jnp.ndarray | None = None,
-                 win_scatter: jnp.ndarray | None = None,
+                 tiled: bool = False,
                  ) -> jnp.ndarray:
     """-> (S/merge_unit, out_hidden) merged features in original order."""
-    wg = None if win_gather is None else win_gather[None]
-    wv = None if win_tseg is None else win_tseg[None]
-    ws_ = None if win_scatter is None else win_scatter[None]
     return vision_tower_batch(params, cfg, patches[None], pos_hw[None],
                               win_seg[None], full_seg[None], reverse[None],
-                              wg, wv, ws_)[0]
+                              tiled=tiled)[0]
 
 
 def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
@@ -338,9 +332,7 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
                        win_seg: jnp.ndarray,    # (B, S) segs, -1 = pad
                        full_seg: jnp.ndarray,   # (B, S) segs, -1 = pad
                        reverse: jnp.ndarray,    # (B, S/mu) un-permutation
-                       win_gather: jnp.ndarray | None = None,  # (B, NT*TR)
-                       win_tseg: jnp.ndarray | None = None,    # (B, NT*TR)
-                       win_scatter: jnp.ndarray | None = None,  # (B, S)
+                       tiled: bool = False,
                        ) -> jnp.ndarray:
     """Batched variant: B same-shape visuals through one call.
 
@@ -348,7 +340,18 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
     via HF generate); here same-shape visuals batch on the leading axis —
     one H2D transfer and one dispatch per chunk instead of per video,
     which dominates the video-scoring wall on hosts with slow interconnect
-    to the chip. -> (B, S/merge_unit, out_hidden)."""
+    to the chip. -> (B, S/merge_unit, out_hidden).
+
+    ``tiled=True`` declares that the caller composed the whole row domain
+    into bin-packed 128-row window tiles on the host (qwen2vl_adapter
+    _padded_geometry: every window's rows contiguous inside one tile, tile
+    boundaries at multiples of 128, pads under segment id -1, pos/segs/
+    reverse all tile-composed). The 28-of-32 windowed layers then run tiny
+    dense attention per tile as a pure reshape — zero device gathers —
+    instead of segment-masked full-S^2 flash, which wastes ~98% of
+    attention FLOPs at video sizes (window 64 of S~3000). Full-attention
+    layers and every row-wise op (LN/matmul/rope/merge groups) are
+    permutation-invariant, so the tile order is exact end to end."""
     patches = patches.astype(params["patch_w"].dtype)  # bf16 MXU path
     x = patches @ params["patch_w"]                        # (B, S, hidden)
 
@@ -359,8 +362,6 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
     emb = jnp.concatenate([freqs, freqs], axis=-1)         # (B, S, head_dim)
     cos, sin = jnp.cos(emb), jnp.sin(emb)                  # (B, S, D)
 
-    cap = (cfg.window_size // cfg.merge_size // cfg.patch_size) ** 2 \
-        * cfg.merge_unit
     for i, blk in enumerate(params["blocks"]):
         full = i in cfg.fullatt_block_indexes
         seg = full_seg if full else win_seg
@@ -389,34 +390,19 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
                 cos, sin)
             pk = jnp.concatenate([qk.reshape(b, s, -1),
                                   packed[..., 2 * hd:]], axis=-1)
-        if not full and win_gather is not None:
-            # dense-window attention: rows gather into bin-packed 128-row
-            # tiles (several windows per tile, exact via per-row window
-            # segment ids — see vision_geometry), attend densely inside
-            # each tile (tiny exact attention, no S^2 score tile), and
-            # scatter back. At video sizes the segment-masked full-S
-            # path computes ~50x more attention FLOPs than these tiles.
-            #
-            # Both gathers run on flat (B*rows, lanes) 2D views with
-            # per-batch offset indices: a take along the sequence axis of
-            # the 3D array lowers to an index-major-layout gather plus a
-            # full transpose copy (~0.9 ms/layer at video sizes), while
-            # the flat row gather keeps row-major layout end to end.
-            # mode="clip" (indices are pre-clamped in-range; pad slots
-            # read row 0 and are excluded by segment id -1): the default
-            # fill mode emits a pred + full-tensor select per gather.
-            ntr = win_gather.shape[1]
-            off = jnp.arange(b, dtype=jnp.int32)[:, None]
-            g = jnp.take(pk.reshape(b * s, -1),
-                         (win_gather[0][None] + off * s).reshape(-1),
-                         axis=0, mode="clip")         # (B*NT*TR, 3HD)
-            g = g.reshape(-1, 128, pk.shape[-1])
-            seg = jnp.broadcast_to(win_tseg[:1].reshape(1, ntr // 128, 128),
-                                   (b, ntr // 128, 128)).reshape(-1, 128)
-            aw = attention_flat_packed(g, cfg.heads, segment_ids=seg)
-            a = jnp.take(aw.reshape(b * ntr, -1),
-                         (win_scatter[0][None] + off * ntr).reshape(-1),
-                         axis=0, mode="clip").reshape(b, s, -1)
+        if not full and tiled:
+            # dense-window attention on the tile layout: a pure reshape
+            # into (B*NT, 128, L) 128-row tiles — every window's rows are
+            # contiguous inside one tile (host bin-packing), per-row
+            # window segment ids keep co-tiled windows exact, pad slots
+            # carry segment -1. Tiny exact attention, no S^2 score tile,
+            # and (unlike the earlier gather/scatter formulation) zero
+            # data movement around it.
+            nt = s // 128
+            aw = attention_flat_packed(
+                pk.reshape(b * nt, 128, pk.shape[-1]), cfg.heads,
+                segment_ids=seg.reshape(b * nt, 128))
+            a = aw.reshape(b, s, -1)
         else:
             a = attention_flat_packed(pk, cfg.heads, segment_ids=seg)
         x = x + L.linear(a, blk["attn"]["o"]["w"], blk["attn"]["o"]["b"])

@@ -65,12 +65,44 @@ WIN_DENSE = _os.environ.get("T2V_QWEN_WIN_DENSE", "1") == "1"
 
 
 def _padded_geometry(cfg_vision, grid, s, sb):
-    """Host geometry for one (grid, patch-bucket) vision shape: window
-    permutation, rotary ids, segment ids and dense-window maps, all padded
-    to the bucket. Shared by the adapter's batched vision path and the
-    bench's device-only probe."""
+    """Host geometry for one (grid, patch-bucket) vision shape, padded to
+    the bucket. Shared by the adapter's vision paths and the bench's
+    device-only probe. Returns
+    ``(geom, pos_hw, win_seg, full_seg, reverse, tiled)``.
+
+    When ``tiled`` (dense-window mode is on, every window fits a 128-row
+    tile, and the bin-packed tiles fit the bucket — always true for real
+    Qwen2.5-VL configs), the whole row domain is composed through the
+    bin-packed tile layout here on the host: ``geom["perm_tile"]`` gathers
+    original patch rows straight into tile slots (pad slots read row 0 —
+    garbage, excluded from attention by segment -1 and never read by
+    ``reverse``), and pos_hw / win_seg / full_seg / reverse are all in
+    tile order. The tower then needs zero device gathers
+    (qwen2vl.vision_tower_batch tiled=True). Windows and tile slots are
+    multiples of merge_unit by construction, so merge groups stay intact
+    consecutive runs in tile order and ``reverse`` can address merged
+    tile rows directly."""
     mu = cfg_vision.merge_unit
     geom = q.vision_geometry(grid, cfg_vision)
+    nt_rows = len(geom["win_gather"])
+    tiled = (WIN_DENSE and geom.get("win_tr") == 128 and nt_rows <= sb)
+    if tiled:
+        extra = sb - nt_rows  # pad tiles up to the bucket
+        wg = np.concatenate([geom["win_gather"],
+                             np.zeros(extra, np.int32)]) if extra \
+            else geom["win_gather"]
+        win_seg = np.concatenate([geom["win_tseg"],
+                                  np.full(extra, -1, np.int32)]) if extra \
+            else geom["win_tseg"]
+        geom = dict(geom, perm_tile=geom["perm"][wg])
+        pos_hw = geom["pos_hw"][wg]
+        full_seg = np.where(win_seg >= 0, 0, -1).astype(np.int32)
+        wsc = geom["win_scatter"]
+        rev = (wsc[geom["reverse"].astype(np.int64) * mu] // mu) \
+            .astype(np.int32)
+        reverse = np.concatenate([rev, np.zeros(sb // mu - len(rev),
+                                                np.int32)])
+        return geom, pos_hw, win_seg, full_seg, reverse, True
     pad = sb - s
     pos_hw = np.concatenate([geom["pos_hw"],
                              np.zeros((pad, 2), np.int32)]) \
@@ -83,33 +115,7 @@ def _padded_geometry(cfg_vision, grid, s, sb):
     reverse = np.concatenate([geom["reverse"],
                               np.arange(s // mu, sb // mu,
                                         dtype=np.int32)])
-    return (geom, pos_hw, win_seg, full_seg, reverse,
-            _padded_windows(geom, s, sb))
-
-
-def _padded_windows(geom, s, sb):
-    """Pad the dense-window tile arrays: the tile count to a multiple of
-    4 (bounds compile variants per patch bucket; pad tiles gather row 0
-    under segment id -1) and the scatter map to the padded patch bucket
-    (pad rows read slot 0 — garbage rows beyond s are dropped
-    downstream). Returns None when the dense-window path is disabled or
-    the config's window capacity exceeds the 128-row tile."""
-    if not WIN_DENSE or geom.get("win_tr") != 128:
-        return None
-    tr = geom["win_tr"]
-    nt = len(geom["win_gather"]) // tr
-    ntp = -(-nt // 4) * 4
-    extra = (ntp - nt) * tr
-    wg = np.concatenate([geom["win_gather"],
-                         np.zeros(extra, np.int32)]) if extra \
-        else geom["win_gather"]
-    wt = np.concatenate([geom["win_tseg"],
-                         np.full(extra, -1, np.int32)]) if extra \
-        else geom["win_tseg"]
-    wsc = np.concatenate([geom["win_scatter"],
-                          np.zeros(sb - s, np.int32)]) if sb > s \
-        else geom["win_scatter"]
-    return wg, wt, wsc
+    return geom, pos_hw, win_seg, full_seg, reverse, False
 
 
 class Qwen2VLAdapter(VQAScoreModel):
@@ -153,9 +159,11 @@ class Qwen2VLAdapter(VQAScoreModel):
 
         cfg_v = cfg.vision
         self._vision_jit = jax.jit(
-            lambda p, patches, pos_hw, win_seg, full_seg, reverse, *win:
+            lambda p, patches, pos_hw, win_seg, full_seg, reverse,
+            tiled=False:
             q.vision_tower(p["vision"], cfg_v, patches, pos_hw, win_seg,
-                           full_seg, reverse, *win))
+                           full_seg, reverse, tiled=tiled),
+            static_argnames=("tiled",))
         self._score_jit = jax.jit(
             lambda p, *a, temperature: q.splice_and_score(
                 p, cfg, *a, temperature=temperature),
@@ -206,19 +214,19 @@ class Qwen2VLAdapter(VQAScoreModel):
             patches, _ = None, None
             patches, grid = self._image_patches(img)
             spg_t = 0.0
-        geom = q.vision_geometry(grid, cfg.vision)
         s = patches.shape[0]
         sb = _bucket(s, PATCH_BUCKETS)
-        pad = sb - s
-        patches_w = patches[geom["perm"]]
-        if pad:
-            patches_w = np.concatenate([patches_w, np.zeros((pad, patches.shape[1]), np.float32)])
-        pos_hw = np.concatenate([geom["pos_hw"], np.zeros((pad, 2), np.int32)]) if pad else geom["pos_hw"]
-        win_seg = np.concatenate([geom["win_seg"], np.full(pad, -1, np.int32)]) if pad else geom["win_seg"]
-        full_seg = np.concatenate([np.zeros(s, np.int32), np.full(pad, -1, np.int32)])
+        geom, pos_hw, win_seg, full_seg, reverse, tiled = _padded_geometry(
+            cfg.vision, grid, s, sb)
         mu = cfg.vision.merge_unit
-        reverse = np.concatenate([geom["reverse"],
-                                  np.arange(s // mu, sb // mu, dtype=np.int32)])
+        if tiled:
+            patches_w = patches[geom["perm_tile"]]
+        else:
+            patches_w = patches[geom["perm"]]
+            if sb > s:
+                patches_w = np.concatenate(
+                    [patches_w, np.zeros((sb - s, patches.shape[1]),
+                                         np.float32)])
         # ship patches in the weight dtype (bf16 halves the H2D bytes; the
         # tower casts to weight dtype on entry regardless)
         wd = self.params["vision"]["patch_w"].dtype
@@ -226,12 +234,10 @@ class Qwen2VLAdapter(VQAScoreModel):
             import ml_dtypes
 
             patches_w = patches_w.astype(ml_dtypes.bfloat16)
-        win = _padded_windows(geom, s, sb)
-        wina = [] if win is None else [jnp.asarray(w) for w in win]
         feats = self._vision_jit(self.params, jnp.asarray(patches_w),
                                  jnp.asarray(pos_hw), jnp.asarray(win_seg),
                                  jnp.asarray(full_seg), jnp.asarray(reverse),
-                                 *wina)
+                                 tiled=tiled)
         return feats[: s // mu], grid, is_video, spg_t
 
     def _encode_visuals(self, visuals, fps=None):
@@ -272,8 +278,9 @@ class Qwen2VLAdapter(VQAScoreModel):
 
         if not hasattr(self, "_vision_batch_jit"):
             self._vision_batch_jit = jax.jit(
-                lambda p, *a: q.vision_tower_batch(p["vision"], cfg.vision,
-                                                   *a))
+                lambda p, *a, tiled=False: q.vision_tower_batch(
+                    p["vision"], cfg.vision, *a, tiled=tiled),
+                static_argnames=("tiled",))
         wd = self.params["vision"]["patch_w"].dtype
         out = [None] * len(hosts)
         groups = {}
@@ -297,58 +304,59 @@ class Qwen2VLAdapter(VQAScoreModel):
                         wb // cfg.vision.patch_size)
                 s = int(np.prod(grid))
                 sb = _bucket(s, PATCH_BUCKETS)
-                geom, pos_hw, win_seg, full_seg, reverse, win = \
+                geom, pos_hw, win_seg, full_seg, reverse, tiled = \
                     _padded_geom(grid, s, sb)
                 stack = np.stack([hosts[i][1] for i in idxs]) \
                     .reshape(n, t, h0, w0 * 3)
-                wina = [] if win is None else [
-                    jnp.asarray(np.broadcast_to(w, (n, *w.shape)))
-                    for w in win]
-                feats = self._video_feats_jit(shape, hb, wb, grid, sb, wd)(
+                perm = geom["perm_tile"] if tiled else geom["perm"]
+                feats = self._video_feats_jit(shape, hb, wb, grid, sb, wd,
+                                              tiled)(
                     self.params, jnp.asarray(stack),
-                    jnp.asarray(geom["perm"]),
+                    jnp.asarray(perm),
                     jnp.asarray(np.broadcast_to(pos_hw, (n, *pos_hw.shape))),
                     jnp.asarray(np.broadcast_to(win_seg, (n, sb))),
                     jnp.asarray(np.broadcast_to(full_seg, (n, sb))),
-                    jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))),
-                    *wina)
+                    jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))))
                 for row, i in enumerate(idxs):
                     out[i] = (feats[row, : s // mu], grid, True, hosts[i][2])
                 continue
             grid = hosts[idxs[0]][2]
             s = shape[0]
             sb = _bucket(s, PATCH_BUCKETS)
-            geom, pos_hw, win_seg, full_seg, reverse, win = _padded_geom(
+            geom, pos_hw, win_seg, full_seg, reverse, tiled = _padded_geom(
                 grid, s, sb)
-            pad = sb - s
-            stack = np.stack([hosts[i][1][geom["perm"]] for i in idxs])
-            if pad:
-                stack = np.concatenate(
-                    [stack, np.zeros((n, pad, shape[1]), np.float32)], axis=1)
+            if tiled:
+                stack = np.stack([hosts[i][1][geom["perm_tile"]]
+                                  for i in idxs])
+            else:
+                stack = np.stack([hosts[i][1][geom["perm"]] for i in idxs])
+                if sb > s:
+                    stack = np.concatenate(
+                        [stack, np.zeros((n, sb - s, shape[1]), np.float32)],
+                        axis=1)
             if wd == jnp.bfloat16:
                 import ml_dtypes
 
                 stack = stack.astype(ml_dtypes.bfloat16)
-            wina = [] if win is None else [
-                jnp.asarray(np.broadcast_to(w, (n, *w.shape))) for w in win]
             feats = self._vision_batch_jit(
                 self.params, jnp.asarray(stack),
                 jnp.asarray(np.broadcast_to(pos_hw, (n, *pos_hw.shape))),
                 jnp.asarray(np.broadcast_to(win_seg, (n, sb))),
                 jnp.asarray(np.broadcast_to(full_seg, (n, sb))),
                 jnp.asarray(np.broadcast_to(reverse, (n, sb // mu))),
-                *wina)
+                tiled=tiled)
             for row, i in enumerate(idxs):
                 out[i] = (feats[row, : s // mu], grid, False, 0.0)
         return out
 
-    def _video_feats_jit(self, fshape, hb, wb, grid, sb, wd):
+    def _video_feats_jit(self, fshape, hb, wb, grid, sb, wd, tiled=False):
         """Compiled raw-frames -> merged-features function for one
         (T, H0, W0) video shape: PIL-parity bicubic resize (ops/image.py
         separable matmuls on channel-flattened frames), CLIP normalize,
-        patchify + window permutation, pad to the patch bucket, and the
-        batched vision tower — one jit, zero host pixel math."""
-        key = (fshape, sb, str(wd))
+        patchify + window/tile permutation (`perm` already composed to the
+        bucket in tiled mode, so the gather IS the pad), and the batched
+        vision tower — one jit, zero host pixel math."""
+        key = (fshape, sb, str(wd), tiled)
         cache = self.__dict__.setdefault("_vid_jit_cache", {})
         if key in cache:
             return cache[key]
@@ -362,8 +370,7 @@ class Qwen2VLAdapter(VQAScoreModel):
         gt, gh, gw = grid
         s = gt * gh * gw
 
-        def fn(params, frames_u8, perm, pos_hw, win_seg, full_seg, reverse,
-               *win):
+        def fn(params, frames_u8, perm, pos_hw, win_seg, full_seg, reverse):
             x = frames_u8.astype(jnp.float32)        # (n, T, H0, W0*3)
             x = jimage.resize_flat(x, hb, wb, 3)
             # host parity: PIL emits uint8 after its fixed-point bicubic
@@ -374,13 +381,14 @@ class Qwen2VLAdapter(VQAScoreModel):
             x = x.reshape(n, gt, tp, 3, gh // m, m, p_, gw // m, m, p_)
             x = x.transpose(0, 1, 4, 7, 5, 8, 3, 2, 6, 9)
             flat = x.reshape(n, s, 3 * tp * p_ * p_)
-            flat = jnp.take(flat, perm, axis=1)
-            if sb > s:
-                flat = jnp.pad(flat, ((0, 0), (0, sb - s), (0, 0)))
+            flat = jnp.take(flat, perm, axis=1, mode="clip")
+            if flat.shape[1] < sb:
+                flat = jnp.pad(flat, ((0, 0), (0, sb - flat.shape[1]),
+                                      (0, 0)))
             flat = flat.astype(wd)
             return q.vision_tower_batch(params["vision"], cfg.vision, flat,
                                         pos_hw, win_seg, full_seg, reverse,
-                                        *win)
+                                        tiled=tiled)
 
         cache[key] = jax.jit(fn)
         return cache[key]

@@ -160,13 +160,16 @@ pytestmark = pytest.mark.slow
 
 
 def test_dense_window_path_matches_segment_path():
-    """The gather/scatter dense-window attention (vision_tower_batch
-    win_gather path) must agree with the segment-masked full-S path on a
-    RAGGED grid (edge windows smaller than the window capacity)."""
+    """The tile-composed dense-window tower (vision_tower tiled=True with
+    _padded_geometry's composed perm/pos/segs/reverse) must agree with the
+    segment-masked window-order path on a RAGGED grid (edge windows
+    smaller than the window capacity, bin-packed several per tile)."""
     import jax
     import jax.numpy as jnp
     from t2v_metrics_tpu.models import qwen2vl as q
-    from t2v_metrics_tpu.models.qwen2vl_adapter import _padded_windows, _bucket
+    from t2v_metrics_tpu.models.qwen2vl_adapter import (_padded_geometry,
+                                                        _bucket,
+                                                        PATCH_BUCKETS)
 
     cfg = q.QWEN2_VL_MODELS["qwen2.5-vl-test"]["config"].vision
     params = q.init_qwen2vl(
@@ -176,24 +179,25 @@ def test_dense_window_path_matches_segment_path():
     # dims are NOT multiples of ws=2: llm_h=3, llm_w=5 -> ragged windows
     grid = (1, 6, 10)
     s = int(np.prod(grid))
-    geom = q.vision_geometry(grid, cfg)
+    sb = _bucket(s, PATCH_BUCKETS)
+    geom, pos_hw, win_seg, full_seg, reverse, tiled = _padded_geometry(
+        cfg, grid, s, sb)
+    assert tiled
     rng = np.random.default_rng(7)
     patches = rng.standard_normal((s, cfg.patch_dim)).astype(np.float32)
-    pw = patches[geom["perm"]]
-    full_seg = np.zeros(s, np.int32)
 
+    # reference: window-order rows, segment-masked windowed attention
+    pw = patches[geom["perm"]]
     ref = q.vision_tower(params, cfg, jnp.asarray(pw),
                          jnp.asarray(geom["pos_hw"]),
                          jnp.asarray(geom["win_seg"]),
-                         jnp.asarray(full_seg),
+                         jnp.asarray(np.zeros(s, np.int32)),
                          jnp.asarray(geom["reverse"]))
-    win = _padded_windows(geom, s, s)
-    assert win is not None
-    out = q.vision_tower(params, cfg, jnp.asarray(pw),
-                         jnp.asarray(geom["pos_hw"]),
-                         jnp.asarray(geom["win_seg"]),
-                         jnp.asarray(full_seg),
-                         jnp.asarray(geom["reverse"]),
-                         *[jnp.asarray(w) for w in win])
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+    out = q.vision_tower(params, cfg,
+                         jnp.asarray(patches[geom["perm_tile"]]),
+                         jnp.asarray(pos_hw), jnp.asarray(win_seg),
+                         jnp.asarray(full_seg), jnp.asarray(reverse),
+                         tiled=True)
+    np.testing.assert_allclose(np.asarray(out)[: s // cfg.merge_unit],
+                               np.asarray(ref)[: s // cfg.merge_unit],
                                atol=2e-5, rtol=2e-5)
