@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--eta", type=float, default=0.85,
                     help="assumed TP-over-ICI parallel efficiency")
+    ap.add_argument("--quant", default=None, choices=[None, "int8"],
+                    help="measure the W8A8 int8 T5 path (ops/quant.py) "
+                         "instead of bf16")
     args = ap.parse_args()
 
     from t2v_metrics_tpu.compile_cache import enable_persistent_cache
@@ -125,6 +128,16 @@ def main():
     }
     lm_head = jax.random.normal(kh, (t5c.d_model, t5c.vocab_size), dt) * 0.02
 
+    if args.quant == "int8":
+        # quantize the same leaves quantize_t5_params targets (projections
+        # + MLP), via the same code path — lm_head/norms/rel_bias stay bf16
+        from t2v_metrics_tpu.ops import quant as Qz
+        wrap = Qz.quantize_t5_params(
+            {"encoder": {"blocks": [enc_blk]},
+             "decoder": {"blocks": [dec_blk]}})
+        enc_blk = wrap["encoder"]["blocks"][0]
+        dec_blk = wrap["decoder"]["blocks"][0]
+
     # ---- inputs (device-resident; perturbed per repeat via scalar) ----
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.normal(0, 1, (P, cfg.vision.image_size,
@@ -144,8 +157,11 @@ def main():
     def vit_chain(params, px, seed):
         def body(_, carry):
             feats = cft5.image_features(params, cfg, carry)
-            # tiny data dependency: forces strictly sequential iterations
-            return carry + feats.mean().astype(carry.dtype) * 0
+            # tiny data dependency: forces strictly sequential iterations.
+            # seed*1e-30 is a traced runtime scalar — unlike a literal 0
+            # multiplier, XLA's simplifier cannot fold it away and DCE the
+            # measured body; the added value underflows vs carry's scale.
+            return carry + feats.mean().astype(carry.dtype) * (seed * 1e-30)
         return lax.fori_loop(0, n_vit, body, px + seed)[:, 0, 0, 0]
 
     vit_s = _time_calls(vit_chain,
@@ -193,7 +209,8 @@ def main():
             logits = (h @ w).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             tok = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
-            return carry + tok.mean().astype(carry.dtype) * 0
+            # traced-scalar multiplier: see vit_chain note (DCE-proof)
+            return carry + tok.mean().astype(carry.dtype) * (seed * 1e-30)
         return lax.fori_loop(0, n_head, body, x + seed)[:, 0, :1]
 
     head_s = _time_calls(head_chain,
@@ -226,6 +243,7 @@ def main():
         "single_chip_equiv_pairs_per_sec": round(single_pps, 2),
         "flops_per_pair_g": round(fpp / 1e9, 1),
         "mfu_single_chip_equiv": round(single_pps * fpp / (peak * 1e12), 3),
+        "quant": args.quant or "bf16",
         "tp4_ici_efficiency_assumed": args.eta,
         "tp4_pairs_per_sec_per_chip": round(tp4_pps_chip, 2),
         "tp4_vs_hf_gpu_baseline": round(

@@ -137,6 +137,8 @@ class CLIPT5Adapter(VQAScoreModel):
       dtype: jnp dtype for params
       mesh: jax.sharding.Mesh for TP/DP sharding
       seed: PRNG seed for random init
+      quant: 'int8' for W8A8 dynamic-quantized T5 matmuls (2x MXU rate on
+        v5e; parity gated by tests/test_quant.py) — also via T2V_QUANT=int8
     """
 
     video_mode = "concat"
@@ -177,6 +179,14 @@ class CLIPT5Adapter(VQAScoreModel):
                     tokenizer = SimpleT5Tokenizer(cfg.t5.vocab_size)
             else:
                 tokenizer = SimpleT5Tokenizer(cfg.t5.vocab_size)
+
+        quant = self.kwargs.get("quant") or os.environ.get("T2V_QUANT")
+        if quant == "int8":
+            from ..ops.quant import quantize_t5_params
+            params = dict(params)
+            params["t5"] = quantize_t5_params(params["t5"])
+        elif quant:
+            raise ValueError(f"unknown quant mode {quant!r} (only 'int8')")
 
         self.engine = CLIPT5Engine(
             params, cfg, tokenizer, mesh=mesh,

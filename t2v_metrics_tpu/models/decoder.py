@@ -126,16 +126,16 @@ def _rotate_half(x):
 
 
 # Rope compute dtype. The HF reference upcasts q/k to f32 around the
-# rotation; with bf16 activations that materializes 2x-wide intermediates
-# and XLA emits the chain as ~5 full HBM passes per layer (profiled at
-# ~2.4 ms/layer on the Qwen video vision tower — rivaling the layer's
-# matmuls). T2V_ROPE_COMPUTE=activation (default) keeps the rotation in
-# the activation dtype: elementwise VPU math runs at f32 precision
-# in-register either way, so the only numerics delta is the final-sum
-# rounding (<=2^-8 relative, swamped by the bf16 matmuls downstream) —
-# while halving the chain's HBM traffic and letting XLA fuse it tightly.
-# Under f32 activations (all CPU parity suites) the two modes are
-# identical. T2V_ROPE_COMPUTE=f32 restores the materialized-f32 chain.
+# rotation; with bf16 activations that materializes 2x-wide x
+# intermediates and XLA emits the chain as ~5 full HBM passes per layer
+# (profiled at ~2.4 ms/layer on the Qwen video vision tower — rivaling
+# the layer's matmuls). Default mode: x stays in its activation dtype
+# (the bulky tensor, read/written once in bf16), while cos/sin — the
+# small (B,S,D) angle tables — stay f32 in the multiply, so the products
+# and the sum run in f32 and only the FINAL result rounds to bf16. This
+# preserves full angle precision (cos/sin are never rounded; matching
+# the HF upcast to <=1 final-rounding ulp) without re-widening the HBM
+# chain. T2V_ROPE_COMPUTE=f32 restores the fully materialized-f32 chain.
 import os as _os
 
 _ROPE_F32 = _os.environ.get("T2V_ROPE_COMPUTE", "activation") == "f32"
@@ -143,20 +143,20 @@ _ROPE_F32 = _os.environ.get("T2V_ROPE_COMPUTE", "activation") == "f32"
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """x: (B, H, S, D); cos/sin: (B, S, D)."""
-    ct = jnp.float32 if _ROPE_F32 else x.dtype
-    c = cos[:, None].astype(ct)
-    s = sin[:, None].astype(ct)
-    xc = x.astype(ct)
+    c = cos[:, None].astype(jnp.float32)
+    s = sin[:, None].astype(jnp.float32)
+    xc = x.astype(jnp.float32) if _ROPE_F32 else x
+    # bf16 x * f32 cos promotes to f32: products + sum in f32, one
+    # rounding at the end
     return ((xc * c) + (_rotate_half(xc) * s)).astype(x.dtype)
 
 
 def apply_rope_bshd(x: jnp.ndarray, cos: jnp.ndarray,
                     sin: jnp.ndarray) -> jnp.ndarray:
     """x: (B, S, H, D) — head-major layout; cos/sin: (B, S, D)."""
-    ct = jnp.float32 if _ROPE_F32 else x.dtype
-    c = cos[:, :, None].astype(ct)
-    s = sin[:, :, None].astype(ct)
-    xc = x.astype(ct)
+    c = cos[:, :, None].astype(jnp.float32)
+    s = sin[:, :, None].astype(jnp.float32)
+    xc = x.astype(jnp.float32) if _ROPE_F32 else x
     return ((xc * c) + (_rotate_half(xc) * s)).astype(x.dtype)
 
 

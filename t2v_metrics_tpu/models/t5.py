@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import layers as L
+from ..ops import quant as Q
 from ..ops.attention import (attention, attention_flat,
                              attention_flat_packed)
 
@@ -129,12 +130,11 @@ def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
         if x is kv:
             # self-attention: ONE packed qkv matmul (d_model -> 3*inner)
             # beats three narrow ones on the MXU (~80% -> ~92% measured),
-            # and the flash kernel reads the packed output in place
-            w_qkv = jnp.concatenate(
-                [p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1)
-            a = attention_flat_packed(x @ w_qkv, heads, bias=bias,
-                                      kv_mask=kv_mask, causal=causal,
-                                      scale=1.0)
+            # and the flash kernel reads the packed output in place.
+            # Q.mm_packed keeps the same packing under int8 weights.
+            a = attention_flat_packed(
+                Q.mm_packed(x, [p["q"], p["k"], p["v"]]), heads, bias=bias,
+                kv_mask=kv_mask, causal=causal, scale=1.0)
         else:
             # cross-attention: SEPARATE k/v matmuls. Packing k|v into one
             # wide matmul was tried (round 3) and A/B'd on chip at the
@@ -144,24 +144,33 @@ def _t5_attention(p: Params, x: jnp.ndarray, kv: jnp.ndarray, heads: int,
             # pairs/s with separate projections (scripts/device_ab.py,
             # r4 bisect). Narrow d_model->inner matmuls at S=640 already
             # run ~91% on the MXU.
-            a = attention_flat(x @ p["q"]["w"], kv @ p["k"]["w"],
-                               kv @ p["v"]["w"], heads, bias=bias,
+            a = attention_flat(Q.mm(x, p["q"]), Q.mm(kv, p["k"]),
+                               Q.mm(kv, p["v"]), heads, bias=bias,
                                kv_mask=kv_mask, causal=causal, scale=1.0)
-        return a @ p["o"]["w"]
-    q = L.split_heads(x @ p["q"]["w"], heads)
-    k = L.split_heads(kv @ p["k"]["w"], heads)
-    v = L.split_heads(kv @ p["v"]["w"], heads)
+        return Q.mm(a, p["o"])
+    q = L.split_heads(Q.mm(x, p["q"]), heads)
+    k = L.split_heads(Q.mm(kv, p["k"]), heads)
+    v = L.split_heads(Q.mm(kv, p["v"]), heads)
     a = attention(q, k, v, bias=bias, kv_mask=kv_mask, causal=causal,
                   scale=1.0, rel_bias=rel_bias, rel_cfg=rel_cfg)
-    return L.merge_heads(a) @ p["o"]["w"]
+    return Q.mm(L.merge_heads(a), p["o"])
 
 
 def _t5_mlp(p: Params, x: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
     if cfg.gated:
-        h = L.ACT_FNS[cfg.act](x @ p["wi_0"]["w"]) * (x @ p["wi_1"]["w"])
+        if "w_q" in p["wi_0"]:
+            # quantized: ONE packed wi_0|wi_1 matmul — shares the per-row
+            # activation quant pass between the two projections (the quant
+            # pass is the W8A8 path's main overhead) and doubles the GEMM
+            # width. The (.., 2*d_ff) slices are contiguous lane halves.
+            hh = Q.mm_packed(x, [p["wi_0"], p["wi_1"]])
+            d_ff = hh.shape[-1] // 2
+            h = L.ACT_FNS[cfg.act](hh[..., :d_ff]) * hh[..., d_ff:]
+        else:
+            h = L.ACT_FNS[cfg.act](Q.mm(x, p["wi_0"])) * Q.mm(x, p["wi_1"])
     else:
-        h = jax.nn.relu(x @ p["wi"]["w"])
-    return h @ p["wo"]["w"]
+        h = jax.nn.relu(Q.mm(x, p["wi"]))
+    return Q.mm(h, p["wo"])
 
 
 def _enc_block(p: Params, x, cfg: T5Config, bias, kv_mask,
@@ -260,8 +269,8 @@ def cross_kv(params: Params, cfg: T5Config, enc_hidden: jnp.ndarray):
     """Per-layer cross-attention keys/values from the encoder hidden."""
     out = []
     for blk in params["decoder"]["blocks"]:
-        out.append((enc_hidden @ blk["cross"]["k"]["w"],
-                    enc_hidden @ blk["cross"]["v"]["w"]))
+        out.append((Q.mm(enc_hidden, blk["cross"]["k"]),
+                    Q.mm(enc_hidden, blk["cross"]["v"])))
     return out
 
 
@@ -290,22 +299,22 @@ def decode_step(params: Params, cfg: T5Config, tok_ids: jnp.ndarray,
     new_cache = []
     for blk, cl, (ck, cv) in zip(dec["blocks"], cache, cross_kvs):
         h = L.rms_norm(x, blk["ln1"]["scale"], cfg.eps)
-        q = L.split_heads(h @ blk["attn"]["q"]["w"], cfg.num_heads)
-        k1 = h @ blk["attn"]["k"]["w"]
-        v1 = h @ blk["attn"]["v"]["w"]
+        q = L.split_heads(Q.mm(h, blk["attn"]["q"]), cfg.num_heads)
+        k1 = Q.mm(h, blk["attn"]["k"])
+        v1 = Q.mm(h, blk["attn"]["v"])
         nk = jax.lax.dynamic_update_slice(cl["k"], k1, (0, cpos, 0))
         nv = jax.lax.dynamic_update_slice(cl["v"], v1, (0, cpos, 0))
         new_cache.append({"k": nk, "v": nv})
         a = attention(q, L.split_heads(nk, cfg.num_heads),
                       L.split_heads(nv, cfg.num_heads), bias=bias,
                       scale=1.0, impl="reference")
-        x = x + L.merge_heads(a) @ blk["attn"]["o"]["w"]
+        x = x + Q.mm(L.merge_heads(a), blk["attn"]["o"])
         h = L.rms_norm(x, blk["ln_cross"]["scale"], cfg.eps)
-        q = L.split_heads(h @ blk["cross"]["q"]["w"], cfg.num_heads)
+        q = L.split_heads(Q.mm(h, blk["cross"]["q"]), cfg.num_heads)
         a = attention(q, L.split_heads(ck, cfg.num_heads),
                       L.split_heads(cv, cfg.num_heads), kv_mask=enc_mask,
                       scale=1.0, impl="reference")
-        x = x + L.merge_heads(a) @ blk["cross"]["o"]["w"]
+        x = x + Q.mm(L.merge_heads(a), blk["cross"]["o"])
         h = L.rms_norm(x, blk["ln2"]["scale"], cfg.eps)
         x = x + _t5_mlp(blk["mlp"], h, cfg)
     x = L.rms_norm(x, dec["ln_final"]["scale"], cfg.eps)

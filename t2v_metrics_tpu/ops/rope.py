@@ -38,6 +38,15 @@ ROPE_KERNEL = os.environ.get("T2V_ROPE_KERNEL", "1") == "1"
 
 _BS = 128  # rows per block: every seq/patch bucket is a multiple
 
+# Packed lane-width ceiling. The kernel's per-block f32 intermediates
+# (x, lane-tiled cos/sin, two rolls, rot, out over a (_BS, L) block) grow
+# linearly in L; Mosaic spills/streams them well past naive VMEM math,
+# but compilation genuinely fails for very wide rows. Measured on v5e
+# (2026-08): L=24576 compiles+runs, L=32768 fails in tpu_compile — so
+# every shipped config (largest: qwen2.5-vl-72b decoder L=10240) is safe,
+# and anything wider falls back to the jnp chain instead of crashing.
+_MAX_LANES = int(os.environ.get("T2V_ROPE_MAX_LANES", 24576))
+
 
 def _kernel(pk_ref, cos_ref, sin_ref, o_ref, *, d, rot_lanes):
     x = pk_ref[0].astype(jnp.float32)                  # (bs, L)
@@ -66,7 +75,7 @@ def use_kernel(b, s, L, rot_heads, d) -> bool:
     """Kernel legality + platform gate (callers keep the jnp chain as the
     fallback — models/decoder.py apply_rope_bshd)."""
     return (ROPE_KERNEL and _on_tpu() and s % _BS == 0 and L % d == 0
-            and d % 2 == 0 and rot_heads * d <= L)
+            and d % 2 == 0 and rot_heads * d <= L and L <= _MAX_LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("rot_heads", "d", "interpret"))

@@ -123,6 +123,26 @@ def partition_specs(params, tp_axis: str = "tp", ep_axis: str | None = None):
         s = _path_str(path)
         if leaf is None or np.ndim(leaf) == 0:
             return P()
+        # W8A8 leaves (ops/quant.py): "<proj>/w_q" shards exactly like the
+        # bf16 "<proj>/w" it replaces; the per-output-channel "<proj>/scale"
+        # follows the weight's N axis (col-sharded projections split N ->
+        # scale splits too; row-sharded projections keep N whole -> scale
+        # replicated). Note RMSNorm leaves are ".../lnX/scale" — they never
+        # sit under a projection dict, so the w_q sibling check below
+        # cannot confuse them.
+        if s.endswith("/w_q"):
+            base = s[:-4] + "/w"
+            if any(base.endswith(k) for k in _COL_SHARDED):
+                return P(None, tp_axis)
+            if any(base.endswith(k) for k in _ROW_SHARDED):
+                return P(tp_axis, None)
+            return P(None, None)
+        if s.endswith("/scale") and np.ndim(leaf) == 1:
+            base = s[:-6] + "/w"
+            if any(base.endswith(k) for k in _COL_SHARDED):
+                return P(tp_axis)
+            if any(base.endswith(k) for k in _ROW_SHARDED):
+                return P()
         # expert parallelism: shard the packed expert axis of MoE tensors
         if s.endswith("moe/gate_up") or s.endswith("moe/down"):
             return P(ep_axis or tp_axis, None, None)

@@ -57,12 +57,22 @@ def test_rope_pack_v_region_untouched():
                                   np.asarray(pk[..., (h + kvh) * d:]))
 
 
-def test_use_kernel_gates():
-    # CPU test env: platform gate must refuse regardless of shape
-    assert not R.use_kernel(1, 256, 1024, 8, 64) or \
-        jax.default_backend() == "tpu"
-    # shape legality, platform aside
-    assert 255 % R._BS != 0  # non-multiple seq would be refused
+def test_use_kernel_gates(monkeypatch):
+    # force the platform + enable gates open so every refusal below is a
+    # real shape-legality decision, not the CPU short-circuit
+    monkeypatch.setattr(R, "_on_tpu", lambda: True)
+    monkeypatch.setattr(R, "ROPE_KERNEL", True)
+    assert R.use_kernel(1, 256, 1024, 8, 64)          # legal GQA shape
+    assert not R.use_kernel(1, 255, 1024, 8, 64)      # seq not mult of 128
+    assert not R.use_kernel(1, 256, 1000, 8, 64)      # L not mult of d
+    assert not R.use_kernel(1, 256, 1024, 8, 63)      # odd head_dim
+    assert not R.use_kernel(1, 256, 1024, 20, 64)     # rot region > L
+    # lane-width ceiling (measured Mosaic compile boundary on v5e):
+    # 72b-class L=10240 is inside, pathological widths are refused
+    assert R.use_kernel(1, 256, 10240, 80, 128)
+    assert not R.use_kernel(1, 256, 32768, 224, 128)
+    monkeypatch.setattr(R, "ROPE_KERNEL", False)
+    assert not R.use_kernel(1, 256, 1024, 8, 64)      # env kill-switch
 
 
 def test_probe_fallback_disables_rope_kernel():
