@@ -94,6 +94,9 @@ def main():
         else:
             vals.append(jax.random.normal(k, l.shape, l.dtype) * 0.02)
     params = jax.tree_util.tree_unflatten(treedef, vals)
+    jax.block_until_ready(vals[-1])
+    print(f"params materialized ({len(vals)} leaves)", file=sys.stderr,
+          flush=True)
 
     eng = CLIPT5Engine(params, cfg, SimpleT5Tokenizer(cfg.t5.vocab_size),
                        max_pairs_per_call=P)
@@ -134,8 +137,12 @@ def main():
         return eng._score(eng.params, feats, *dev, pair_image=idxs[k],
                           pair_text=idxs[k])
 
+    import time as _t
+    t0 = _t.perf_counter()
     out = device_pass(args.iters)          # warm + compile
     np.asarray(out)
+    print(f"compile+warm took {_t.perf_counter() - t0:.0f}s",
+          file=sys.stderr, flush=True)
     assert np.isfinite(np.asarray(out)).all()
 
     best = float("inf")

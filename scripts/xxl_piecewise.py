@@ -184,12 +184,31 @@ def main():
         args.repeats) / t5c.enc_layers
 
     # ---- 3) one xxl decoder block x dec_layers inside one jit ----
+    # The cross-attention k/v projections read only (blk, enc) — both
+    # loop-invariant when one block is iterated — so XLA hoists them out
+    # of the fori_loop and the chain undercounts the real model (24
+    # DISTINCT layers each pay their own cross-kv over the 640 encoder
+    # states: ~5.5 TF/layer, ~2/3 of decoder-side FLOPs). Perturbing the
+    # cross weights with a per-iteration traced multiplier (value-
+    # preserving: 1+1e-38 rounds to 1 in f32/bf16, but XLA cannot fold a
+    # traced operand) forces the projections back inside the loop.
+    def _perturb(leaf, si):
+        if "w_q" in leaf:
+            return {"w_q": leaf["w_q"],
+                    "scale": leaf["scale"] * si.astype(jnp.float32)}
+        return {"w": leaf["w"] * si.astype(leaf["w"].dtype)}
+
     @jax.jit
     def dec_chain(blk, rel_emb, x, enc, em, dm, seed):
         bias = jt5.compute_position_bias(rel_emb, A, A, False,
                                          t5c.num_buckets, t5c.max_distance)
-        def body(_, carry):
-            return jt5._dec_block(blk, carry, enc, t5c, bias, em, dm)
+        def body(i, carry):
+            si = 1.0 + (seed.astype(jnp.float32) + i) * 1e-38
+            blk_i = {**blk, "cross": {
+                **blk["cross"],
+                "k": _perturb(blk["cross"]["k"], si),
+                "v": _perturb(blk["cross"]["v"], si)}}
+            return jt5._dec_block(blk_i, carry, enc, t5c, bias, em, dm)
         return lax.fori_loop(0, t5c.dec_layers, body, x + seed)[:, 0, :1]
 
     dec_s = _time_calls(
@@ -197,6 +216,41 @@ def main():
         lambda r: (dec_blk, dec_blk["attn"]["rel_bias"], x_dec, enc_hidden,
                    mask, dmask, jnp.asarray(r, dt)),
         args.repeats) / t5c.dec_layers
+
+    # ---- 3b) stacked DISTINCT-weight layers cross-check (VERDICT r4
+    # item 6): 4 consecutive xxl encoder layers with independent weights
+    # in ONE compiled program — proves no VMEM/HBM cliff appears at layer
+    # boundaries and that the iterated-single-block number reconciles
+    # with a real multi-layer program.
+    n_stack = 4
+    enc_blks = []
+    for j in range(n_stack):
+        kj = jax.random.fold_in(ke, 100 + j)
+        enc_blks.append({
+            "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
+            "attn": jt5._init_t5_attn(kj, t5c, t5c.num_buckets, dt),
+            "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
+            "mlp": jt5._init_t5_mlp(jax.random.fold_in(kj, 1), t5c, dt),
+        })
+    if args.quant == "int8":
+        from t2v_metrics_tpu.ops import quant as Qz2
+        enc_blks = Qz2.quantize_t5_params(
+            {"encoder": {"blocks": enc_blks}})["encoder"]["blocks"]
+
+    @jax.jit
+    def stacked_chain(blks, rel_emb, x, m, seed):
+        bias = jt5.compute_position_bias(rel_emb, S, S, True,
+                                         t5c.num_buckets, t5c.max_distance)
+        h = x + seed
+        for b in blks:
+            h = jt5._enc_block(b, h, t5c, bias, m)
+        return h[:, 0, :1]
+
+    stacked_s = _time_calls(
+        stacked_chain,
+        lambda r: (enc_blks, enc_blk["attn"]["rel_bias"], x_enc, mask,
+                   jnp.asarray(r, dt)),
+        args.repeats) / n_stack
 
     # ---- 4) lm head + fp32 log_softmax + answer gather ----
     n_head = 8
@@ -236,6 +290,8 @@ def main():
         "chunk": P, "enc_seq": S, "ans_len": A,
         "vit_proj_ms_per_chunk": round(vit_s * 1000, 1),
         "enc_layer_ms_per_chunk": round(enc_s * 1000, 2),
+        "stacked_layers_ms_per_layer": round(stacked_s * 1000, 2),
+        "stacked_vs_iterated": round(stacked_s / enc_s, 3),
         "dec_layer_ms_per_chunk": round(dec_s * 1000, 2),
         "head_softmax_ms_per_chunk": round(head_s * 1000, 2),
         "enc_layers": t5c.enc_layers, "dec_layers": t5c.dec_layers,

@@ -211,6 +211,83 @@ def adopt_vision_dims(vis_params, cfg):
         cfg, **{k: v for k, (_, v) in changed.items()}), changed)
 
 
+# HF config.json key -> DecoderConfig field (VERDICT r4 item 8): exact
+# epsilons, rope theta, sliding windows etc. are NOT shape-inferable, so
+# when a staged checkpoint carries its config.json it outranks both the
+# registry defaults and shape inference (HF from_pretrained semantics —
+# reference qwen2vl_model.py:116-121 rebuilds the model from the
+# checkpoint's own config).
+_HF_DECODER_KEYS = {
+    "vocab_size": "vocab_size",
+    "hidden_size": "d_model",
+    "num_hidden_layers": "layers",
+    "num_attention_heads": "heads",
+    "num_key_value_heads": "kv_heads",
+    "head_dim": "head_dim",
+    "intermediate_size": "d_ff",
+    "hidden_act": "act",
+    "rms_norm_eps": "rms_eps",
+    "rope_theta": "rope_theta",
+    "sliding_window": "sliding_window",
+    "layer_types": "layer_types",
+    "tie_word_embeddings": "tie_embeddings",
+    "num_experts": "num_experts",
+    "num_experts_per_tok": "experts_per_tok",
+    "moe_intermediate_size": "moe_d_ff",
+}
+
+_HF_VISION_KEYS = {
+    "depth": "layers",
+    "num_hidden_layers": "layers",
+    "hidden_size": "hidden",
+    "num_heads": "heads",
+    "num_attention_heads": "heads",
+    "intermediate_size": "mlp_dim",
+    "patch_size": "patch_size",
+    "spatial_merge_size": "merge_size",
+    "window_size": "window_size",
+    "fullatt_block_indexes": "fullatt_block_indexes",
+    "temporal_patch_size": "temporal_patch_size",
+    "out_hidden_size": "out_hidden",
+}
+
+
+def read_hf_config(ckpt_dir: str) -> dict | None:
+    """Parse ``<ckpt_dir>/config.json`` if present, else None."""
+    import json
+
+    path = os.path.join(ckpt_dir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def adopt_config_json(cj: dict, cfg, key_map: dict):
+    """Apply the HF config dict onto a frozen config dataclass.
+
+    Only keys present in ``cj`` AND fields existing on ``cfg`` apply;
+    lists become tuples (frozen-dataclass hygiene). Returns
+    ``(new_cfg, changed)`` like the shape adopters.
+    """
+    import dataclasses
+
+    upd = {}
+    for hf_key, field in key_map.items():
+        if hf_key not in cj or cj[hf_key] is None or not hasattr(cfg, field):
+            continue
+        v = cj[hf_key]
+        if isinstance(v, list):
+            v = tuple(v)
+        upd[field] = v
+    changed = {k: (getattr(cfg, k), v) for k, v in upd.items()
+               if getattr(cfg, k) != v}
+    if not changed:
+        return cfg, {}
+    return (dataclasses.replace(
+        cfg, **{k: v for k, (_, v) in changed.items()}), changed)
+
+
 def load_with_adopted_dims(ckpt: str, cfg, init_fn, model_name: str,
                            dtype=None):
     """Native-checkpoint load for the provisional-dims families: load the
@@ -235,6 +312,19 @@ def load_with_adopted_dims(ckpt: str, cfg, init_fn, model_name: str,
             and "blocks" in params["vision"]:
         new_vis, ch = adopt_vision_dims(params["vision"], cfg.vision)
         changed_all.update({f"vision.{k}": v for k, v in ch.items()})
+    # config.json outranks BOTH the registry and shape inference: it pins
+    # fields no shape can recover (eps, rope theta, sliding windows) and
+    # is the checkpoint's own statement of its architecture (VERDICT r4
+    # item 8; HF from_pretrained semantics)
+    cj = read_hf_config(ckpt)
+    if cj is not None:
+        tc = cj.get("text_config", cj)
+        new_text, ch = adopt_config_json(tc, new_text, _HF_DECODER_KEYS)
+        changed_all.update({f"text.{k}": v for k, v in ch.items()})
+        if "vision_config" in cj:
+            new_vis, ch = adopt_config_json(cj["vision_config"], new_vis,
+                                            _HF_VISION_KEYS)
+            changed_all.update({f"vision.{k}": v for k, v in ch.items()})
     if changed_all:
         cfg = dataclasses.replace(cfg, text=new_text, vision=new_vis)
         warnings.warn(

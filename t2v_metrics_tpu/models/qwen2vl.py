@@ -409,7 +409,17 @@ def vision_tower_batch(params: Params, cfg: QwenVisionConfig,
         h = L.rms_norm(x, blk["ln2"]["scale"], cfg.rms_eps)
         h = (L.ACT_FNS["silu"](L.linear(h, blk["mlp"]["gate"]["w"], blk["mlp"]["gate"]["b"]))
              * L.linear(h, blk["mlp"]["up"]["w"], blk["mlp"]["up"]["b"]))
-        x = x + L.linear(h, blk["mlp"]["down"]["w"], blk["mlp"]["down"]["b"])
+        down = L.linear(h, blk["mlp"]["down"]["w"], blk["mlp"]["down"]["b"])
+        # r5 video-trace finding: without the barrier XLA fuses this down
+        # matmul with the residual add AND the next layer's rms stats into
+        # one kOutput fusion with a transposed (patch-minor) layout that
+        # runs at ~6% MXU (10 ms vs 0.6 ms roofline per layer, ~13% of
+        # video device time). The barrier keeps the dot in its natural
+        # layout; the stats pass alone is streaming-bound and cheap.
+        # A/B'd on chip via T2V_VIT_DOWN_BARRIER (scripts in r5 notes).
+        if L.FUSION_BARRIERS:
+            down = jax.lax.optimization_barrier(down)
+        x = x + down
 
     x = L.rms_norm(x, params["merger"]["ln_q"]["scale"], cfg.rms_eps)
     mu = cfg.merge_unit

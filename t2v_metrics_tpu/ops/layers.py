@@ -8,8 +8,18 @@ regardless of activation dtype — required for score parity with the reference
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
+
+# Structural fusion barriers at residual joins (value-identity). The r5
+# video trace showed XLA fusing a down-projection dot + residual add +
+# the NEXT layer's norm stats into single kOutput fusions with transposed
+# layouts running at ~6% MXU on the Qwen ViT/decoder shapes. Barriers
+# keep dots in their natural layouts; norm stat passes alone are
+# streaming-bound. Kill switch: T2V_FUSION_BARRIERS=0.
+FUSION_BARRIERS = _os.environ.get("T2V_FUSION_BARRIERS", "1") == "1"
 
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray | None,

@@ -129,3 +129,55 @@ def test_unadoptable_divergence_fails_with_field_list(tmp_path):
     msg = str(ei.value)
     assert "shape mismatch" in msg and "blocks/1/mlp/gate/w" in msg
     assert "PROVISIONAL" in msg
+
+
+def test_config_json_outranks_registry_and_shapes(tmp_path):
+    """VERDICT r4 item 8: a staged checkpoint carrying config.json pins
+    fields NO shape can recover (rms_eps, rope_theta, sliding_window) —
+    those must override the registry — and its stated architecture keys
+    win even where shape inference also applies."""
+    import json
+    from t2v_metrics_tpu.models import gemma4 as g4
+
+    cfg_ckpt = _bigger_gemma4_cfg()
+    params = g4.init_gemma4(jax.random.PRNGKey(5), cfg_ckpt)
+    d = str(tmp_path / "gemma4_cj")
+    ckpt_mod.save_params(params, d)
+    with open(f"{d}/config.json", "w") as f:
+        json.dump({"text_config": {
+            "rms_norm_eps": 3.25e-5,         # NOT shape-inferable
+            "rope_theta": 123456.0,          # NOT shape-inferable
+            "sliding_window": 24,            # NOT shape-inferable
+            "num_hidden_layers": 4,          # agrees with shapes
+            "hidden_act": "silu",
+        }, "vision_config": {"intermediate_size": 80}}, f)
+
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        scorer = t2v.VQAScore(model="gemma-4-test", checkpoint=d)
+    tc = scorer.model.config.text
+    assert tc.rms_eps == 3.25e-5
+    assert tc.rope_theta == 123456.0
+    assert tc.sliding_window == 24
+    assert tc.layers == 4                     # shape + config.json agree
+    assert scorer.model.config.vision.mlp_dim == 80
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (56, 56, 3), dtype=np.uint8)
+    s = scorer(images=[img], texts=["a photo of a cat"])
+    assert s.shape == (1, 1) and np.isfinite(np.asarray(s)).all()
+
+
+def test_adopt_config_json_unit():
+    cfg = dec.DecoderConfig(rms_eps=1e-6, rope_theta=1e6)
+    new, changed = ckpt_mod.adopt_config_json(
+        {"rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+         "layer_types": ["full_attention", "sliding_attention"],
+         "unknown_key": 7, "head_dim": None},
+        cfg, ckpt_mod._HF_DECODER_KEYS)
+    assert new.rms_eps == 1e-5 and new.rope_theta == 10000.0
+    assert new.layer_types == ("full_attention", "sliding_attention")
+    assert set(changed) == {"rms_eps", "rope_theta", "layer_types"}
+    # no-op dict -> same object
+    same, ch = ckpt_mod.adopt_config_json({}, cfg, ckpt_mod._HF_DECODER_KEYS)
+    assert same is cfg and ch == {}
