@@ -43,7 +43,19 @@ from t2v_metrics_tpu.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+# Three denominators, all reported (VERDICT r4 item 2b):
+#   * 6.0 — the legacy r01 estimate (kept as `vs_baseline` for artifact
+#     continuity across BENCH_r01..r05)
+#   * realistic / favorable — derived per model by the analytic A100
+#     model of the reference's unbatched per-pair loop
+#     (scripts/hf_gpu_baseline.py, snapshot in docs/HF_BASELINE.json).
+#     `favorable` is an upper bound FOR THE REFERENCE — a real HF run
+#     cannot beat it — so our ratio against it is a lower bound.
 HF_GPU_BASELINE_PAIRS_PER_SEC = 6.0
+HF_BASELINE_DERIVED = {
+    "clip-flant5-xl": {"realistic": 12.66, "favorable": 32.03},
+    "clip-flant5-xxl": {"realistic": 8.68, "favorable": 17.14},
+}
 
 # bf16 peak TFLOP/s per chip by device kind (MFU denominator)
 PEAK_TFLOPS = {
@@ -593,7 +605,8 @@ def main():
             r = subprocess.run(argv, capture_output=True, text=True,
                                timeout=timeout,
                                env={**os.environ, "T2V_BENCH_VIDEO": "0",
-                                    "T2V_BENCH_XXL": "0"})
+                                    "T2V_BENCH_XXL": "0",
+                                    "T2V_BENCH_XXL_INT8": "0"})
             return json.loads(r.stdout.strip().splitlines()[-1])
         except Exception as e:  # pragma: no cover
             return {"error": f"{type(e).__name__}: {e}",
@@ -607,7 +620,18 @@ def main():
     if os.environ.get("T2V_BENCH_XXL", "1") == "1":
         xxl = _sub_json([sys.executable, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scripts",
-            "xxl_piecewise.py")], 1800)
+            "xxl_piecewise.py"), "--eta", "0.81"], 1800)
+        if isinstance(xxl, dict) and "error" not in xxl:
+            xxl["tp4_eta_source"] = ("derived from partitioned-HLO "
+                                     "collective bytes, 50% overlap — "
+                                     "scripts/tp_eta.py, docs/TP_ETA.json")
+    # the headline xxl number: the WHOLE 11B model int8 on ONE chip —
+    # an execution, not a projection (scripts/xxl_int8_onechip.py)
+    xxl_int8 = None
+    if os.environ.get("T2V_BENCH_XXL_INT8", "1") == "1":
+        xxl_int8 = _sub_json([sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts",
+            "xxl_int8_onechip.py"), "--chunk", "96"], 1800)
 
     # ---- output contract (VERDICT r4 weak #1): the driver captures only
     # the LAST ~2000 chars of stdout and parses the FINAL line as the
@@ -632,6 +656,17 @@ def main():
         print(json.dumps({"block": "video", "data": video}))
     if xxl is not None:
         print(json.dumps({"block": "xxl_projection", "data": xxl}))
+    if xxl_int8 is not None:
+        print(json.dumps({"block": "xxl_onechip_int8", "data": xxl_int8}))
+    print(json.dumps({
+        "block": "hf_gpu_baselines",
+        "legacy_estimate": HF_GPU_BASELINE_PAIRS_PER_SEC,
+        "derived": HF_BASELINE_DERIVED,
+        "derivation": "scripts/hf_gpu_baseline.py (analytic A100 model of "
+                      "the reference's unbatched per-pair loop, "
+                      "score.py:104-106/:150-153); favorable is an upper "
+                      "bound for the reference",
+    }))
 
     def _f(block, *keys, default=None):
         """Pull a nested summary number out of a sub-block, error-safe."""
@@ -653,6 +688,10 @@ def main():
         "median_pass_pairs_per_sec": round(med_pps, 3),
         "min_pass_pairs_per_sec": round(min(pass_pps), 3),
         "vs_baseline": round(pps / HF_GPU_BASELINE_PAIRS_PER_SEC, 3),
+        "vs_baseline_realistic": round(
+            pps / HF_BASELINE_DERIVED.get(
+                args.model, {"realistic": HF_GPU_BASELINE_PAIRS_PER_SEC}
+            )["realistic"], 3),
         "device_only_pairs_per_sec": round(dev_pps, 3),
         "host_overhead_pct": round(100 * (1 - pps / dev_pps), 1),
         "mfu": round(mfu, 3),
@@ -667,10 +706,24 @@ def main():
         "video_pairs_per_sec": _f(video, "device_only",
                                   "pairs_per_sec_per_chip"),
         "video_mfu": _f(video, "device_only", "mfu"),
-        "xxl_pairs_per_sec_tp4": _f(xxl, "tp4_pairs_per_sec_per_chip"),
-        "xxl_vs_baseline": _f(xxl, "tp4_vs_hf_gpu_baseline"),
-        "details": "full video / xxl_projection / kernel_probe JSON on "
-                   "earlier labeled lines",
+        "xxl_pairs_per_sec_tp4_bf16": _f(xxl, "tp4_pairs_per_sec_per_chip"),
+        # the north-star number: whole-model int8, one chip, EXECUTED
+        "xxl_onechip_int8_pairs_per_sec": _f(
+            xxl_int8, "pairs_per_sec_per_chip"),
+        "xxl_vs_baseline_legacy6": (
+            round(_f(xxl_int8, "pairs_per_sec_per_chip")
+                  / HF_GPU_BASELINE_PAIRS_PER_SEC, 2)
+            if _f(xxl_int8, "pairs_per_sec_per_chip") else None),
+        "xxl_vs_baseline_realistic": (
+            round(_f(xxl_int8, "pairs_per_sec_per_chip")
+                  / HF_BASELINE_DERIVED["clip-flant5-xxl"]["realistic"], 2)
+            if _f(xxl_int8, "pairs_per_sec_per_chip") else None),
+        "xxl_vs_baseline_favorable": (
+            round(_f(xxl_int8, "pairs_per_sec_per_chip")
+                  / HF_BASELINE_DERIVED["clip-flant5-xxl"]["favorable"], 2)
+            if _f(xxl_int8, "pairs_per_sec_per_chip") else None),
+        "details": "full video / xxl_projection / xxl_onechip_int8 / "
+                   "baselines / kernel_probe JSON on earlier labeled lines",
     }))
 
 

@@ -1,0 +1,129 @@
+"""qwen3-vl-30b-a3b MoE decoder layer at REAL dims on the chip.
+
+VERDICT r4 item 7: EP correctness is gated in the driver dryrun, but no
+MoE FLOP had ever been timed. This measures ONE 30b-a3b decoder layer
+(d_model=2048, 32/4 GQA heads at head_dim 128, 128 experts, top-8,
+moe_d_ff=768 — reference qwen3vl_model.py:28-45) with the production
+sort-based block dispatch + Pallas grouped GEMM (ops/moe.py,
+moe_dispatch=True), under the video-scoring shape (batch 4 x seq 1024),
+and projects decoder tokens/s for the full 48-layer model.
+
+One layer's weights are ~1.3 GB bf16 (experts dominate: 128 x
+(2048x1536 gate_up + 768x2048 down)) — fits one chip; the full 30B model
+needs EP/TP sharding, whose HBM plan parallel/deploy.py-style AOT covers
+separately (weights 57 GB bf16 -> ep8 ~8 GB/chip + dense trunk).
+
+Timing protocol per NOTES: fori_loop chain, loop-carried activations
+(router input changes every iteration -> dispatch cannot be hoisted),
+distinct traced seed per repeat, one tiny fetch per measurement, best of
+N. Prints one JSON line; bench.py merges it as `moe_projection`.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from t2v_metrics_tpu.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from t2v_metrics_tpu.models import decoder as dec
+    from t2v_metrics_tpu.models import qwen3vl as q3
+    from t2v_metrics_tpu.ops import layers as L
+
+    spec = q3.QWEN3_VL_MODELS["qwen3-vl-30b-a3b"]
+    d_model, layers, heads, kv, n_exp, topk, moe_ff = spec["moe_dims"]
+    cfg = dec.DecoderConfig(
+        vocab_size=1024,  # head not timed here; real head projected below
+        d_model=d_model, layers=1, heads=heads, kv_heads=kv, head_dim=128,
+        d_ff=0, qkv_bias=False, qk_norm=True,
+        num_experts=n_exp, experts_per_tok=topk, moe_d_ff=moe_ff,
+        moe_dispatch=True, mrope_section=None)
+
+    key = jax.random.PRNGKey(0)
+    params = dec.init_decoder(key, cfg, jnp.bfloat16)
+    blk = params["blocks"][0]
+    B, S = args.batch, args.seq
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(0, 1, (B, S, d_model)), jnp.bfloat16)
+    pos = jnp.asarray(np.broadcast_to(np.arange(S)[None], (B, S)))
+    mask = jnp.ones((B, S), bool)
+    cos, sin = dec.rope_cos_sin(cfg, pos)
+
+    def layer_chain(blk, x, cos, sin, mask, seed, n):
+        # mirrors dec.forward's per-block body (norm -> attn -> residual
+        # -> norm -> MoE MLP -> residual) with the production _attn/_mlp
+        def body(_, carry):
+            h = L.rms_norm(carry, blk["ln1"]["scale"], cfg.rms_eps)
+            a, _ = dec._attn(blk["attn"], cfg, h, cos, sin, mask)
+            x1 = carry + a
+            h2 = L.rms_norm(x1, blk["ln2"]["scale"], cfg.rms_eps)
+            return x1 + dec._mlp(blk["mlp"], cfg, h2)
+        return lax.fori_loop(0, n, body, x + seed)[:, 0, :1]
+
+    f = jax.jit(layer_chain, static_argnames=("n",))
+    out = f(blk, x0, cos, sin, mask, jnp.bfloat16(0), n=args.iters)
+    np.asarray(out)
+    best = float("inf")
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        out = f(blk, x0, cos, sin, mask, jnp.bfloat16(r + 1), n=args.iters)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+
+    tokens = B * S
+    # per-token active FLOPs (matmuls): qkvo GQA + top-k expert SwiGLU
+    attn_proj = 2 * d_model * (heads * 128 + 2 * kv * 128) \
+        + 2 * (heads * 128) * d_model
+    moe = topk * 2 * (d_model * 2 * moe_ff + moe_ff * d_model)
+    attn_sdpa = 2 * 2 * S * d_model  # per token, seq-S attention
+    fpt_layer = attn_proj + moe + attn_sdpa
+    peak = 197e12
+    layer_tok_s = tokens / best
+    full_dec_tok_s = tokens / (best * layers)
+
+    print(json.dumps({
+        "model": "qwen3-vl-30b-a3b",
+        "protocol": f"ONE real-dims MoE decoder layer on one chip, "
+                    f"sort-based dispatch + Pallas grouped GEMM, batch "
+                    f"{B} x seq {S}, {args.iters} chained iters, best of "
+                    f"{args.repeats}",
+        "layer_ms": round(best * 1e3, 2),
+        "experts": n_exp, "top_k": topk, "moe_d_ff": moe_ff,
+        "active_flops_per_token_per_layer_m": round(fpt_layer / 1e6, 1),
+        "layer_tokens_per_sec": round(layer_tok_s, 0),
+        "projected_decoder_tokens_per_sec_48_layers": round(
+            full_dec_tok_s, 0),
+        "mfu_active_flops": round(
+            layer_tok_s * fpt_layer / peak, 3),
+        "note": "active-FLOPs MFU (router-selected experts only); the "
+                "grouped GEMM also streams all touched expert tiles' "
+                "weights — HBM-bound at small batch, so MFU rises with "
+                "tokens/batch. Full-model serving shards experts over ep "
+                "(driver-gated dryrun_moe_ep).",
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -236,19 +236,22 @@ _HF_DECODER_KEYS = {
     "moe_intermediate_size": "moe_d_ff",
 }
 
+# values may be a tuple of candidate fields (config classes differ:
+# Qwen towers use depth/d_ff, CLIP-style towers use layers/mlp_dim) —
+# the first candidate the config actually has wins
 _HF_VISION_KEYS = {
-    "depth": "layers",
-    "num_hidden_layers": "layers",
-    "hidden_size": "hidden",
-    "num_heads": "heads",
-    "num_attention_heads": "heads",
-    "intermediate_size": "mlp_dim",
-    "patch_size": "patch_size",
-    "spatial_merge_size": "merge_size",
-    "window_size": "window_size",
-    "fullatt_block_indexes": "fullatt_block_indexes",
-    "temporal_patch_size": "temporal_patch_size",
-    "out_hidden_size": "out_hidden",
+    "depth": ("depth", "layers"),
+    "num_hidden_layers": ("layers",),
+    "hidden_size": ("hidden", "width"),
+    "num_heads": ("heads",),
+    "num_attention_heads": ("heads",),
+    "intermediate_size": ("d_ff", "mlp_dim"),
+    "patch_size": ("patch_size",),
+    "spatial_merge_size": ("merge_size",),
+    "window_size": ("window_size",),
+    "fullatt_block_indexes": ("fullatt_block_indexes",),
+    "temporal_patch_size": ("temporal_patch_size",),
+    "out_hidden_size": ("out_hidden",),
 }
 
 
@@ -273,8 +276,13 @@ def adopt_config_json(cj: dict, cfg, key_map: dict):
     import dataclasses
 
     upd = {}
-    for hf_key, field in key_map.items():
-        if hf_key not in cj or cj[hf_key] is None or not hasattr(cfg, field):
+    for hf_key, fields in key_map.items():
+        if hf_key not in cj or cj[hf_key] is None:
+            continue
+        if isinstance(fields, str):
+            fields = (fields,)
+        field = next((f for f in fields if hasattr(cfg, f)), None)
+        if field is None:
             continue
         v = cj[hf_key]
         if isinstance(v, list):

@@ -456,14 +456,18 @@ def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32) -> Params:
                 "up": lin(sub[5], cfg.d_model, cfg.d_ff, False),
                 "down": lin(sub[6], cfg.d_ff, cfg.d_model, False),
             }
+        attn = {
+            "q": lin(sub[0], cfg.d_model, inner, cfg.qkv_bias),
+            "k": lin(sub[1], cfg.d_model, kv_inner, cfg.qkv_bias),
+            "v": lin(sub[2], cfg.d_model, kv_inner, cfg.qkv_bias),
+            "o": lin(sub[3], inner, cfg.d_model, False),
+        }
+        if cfg.qk_norm:
+            attn["q_norm"] = {"scale": jnp.ones((cfg.head_dim,), dtype)}
+            attn["k_norm"] = {"scale": jnp.ones((cfg.head_dim,), dtype)}
         blocks.append({
             "ln1": {"scale": jnp.ones((cfg.d_model,), dtype)},
-            "attn": {
-                "q": lin(sub[0], cfg.d_model, inner, cfg.qkv_bias),
-                "k": lin(sub[1], cfg.d_model, kv_inner, cfg.qkv_bias),
-                "v": lin(sub[2], cfg.d_model, kv_inner, cfg.qkv_bias),
-                "o": lin(sub[3], inner, cfg.d_model, False),
-            },
+            "attn": attn,
             "ln2": {"scale": jnp.ones((cfg.d_model,), dtype)},
             "mlp": mlp,
         })

@@ -13,13 +13,14 @@ import os as _os
 import jax
 import jax.numpy as jnp
 
-# Structural fusion barriers at residual joins (value-identity). The r5
-# video trace showed XLA fusing a down-projection dot + residual add +
-# the NEXT layer's norm stats into single kOutput fusions with transposed
-# layouts running at ~6% MXU on the Qwen ViT/decoder shapes. Barriers
-# keep dots in their natural layouts; norm stat passes alone are
-# streaming-bound. Kill switch: T2V_FUSION_BARRIERS=0.
-FUSION_BARRIERS = _os.environ.get("T2V_FUSION_BARRIERS", "1") == "1"
+# Structural fusion barriers at residual joins (value-identity). The r4
+# video trace showed the ViT down-projection dot fused with residual add
+# + the NEXT layer's norm stats into kOutput fusions timing ~10 ms each
+# (~6% MXU). A/B on chip (r5): barrier OFF 12.08 pairs/s vs ON 12.00 —
+# the barrier does NOT help (the fused dot was not actually the bound;
+# see NOTES_NEXT_ROUND.md video breakdown), so it defaults off and stays
+# available for future layout experiments via T2V_FUSION_BARRIERS=1.
+FUSION_BARRIERS = _os.environ.get("T2V_FUSION_BARRIERS", "0") == "1"
 
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray | None,
