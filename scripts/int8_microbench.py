@@ -83,6 +83,28 @@ def main():
 
     t_w8a8 = timed(w8a8_chain, x, qw_fwd, qw_bwd)
 
+    # epilogue isolation: same two int8 dots, but requantize between hops
+    # with a cheap INT epilogue (shift+clip) instead of the production
+    # f32 dequant -> bf16 -> per-row requant. The delta vs w8a8_chain is
+    # what the f32 epilogue + activation quant passes cost — if it
+    # tracks the extra HBM bytes, a Pallas fused-epilogue matmul kernel
+    # recovers it.
+    xq0 = jnp.asarray(np.random.default_rng(7).integers(-127, 128, (R, K)),
+                      jnp.int8)
+
+    def int_epi_chain(xq, qf, qb, seed, n):
+        def body(_, carry):
+            h32 = lax.dot_general(carry, qf["w_q"], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            h8 = jnp.clip(h32 >> 12, -127, 127).astype(jnp.int8)
+            y32 = lax.dot_general(h8, qb["w_q"], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            y8 = jnp.clip(y32 >> 12, -127, 127).astype(jnp.int8)
+            return jnp.where(seed > jnp.bfloat16(0), y8, carry)
+        return lax.fori_loop(0, n, body, xq)[:1, :1].astype(jnp.bfloat16)
+
+    t_intepi = timed(int_epi_chain, xq0, qw_fwd, qw_bwd)
+
     flops = 4.0 * R * K * N                      # two matmuls per iter
     out = {
         "shape": [R, K, N],
@@ -91,6 +113,9 @@ def main():
         "w8a8_e2e_ms": round(t_w8a8 * 1e3, 3),
         "w8a8_e2e_tops": round(flops / t_w8a8 / 1e12, 1),
         "w8a8_speedup_vs_bf16": round(t_bf16 / t_w8a8, 2),
+        "int8_int_epilogue_ms": round(t_intepi * 1e3, 3),
+        "int8_int_epilogue_tops": round(flops / t_intepi / 1e12, 1),
+        "f32_epilogue_overhead_ms": round((t_w8a8 - t_intepi) * 1e3, 3),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out))

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dense", action="store_true",
+                    help="A/B: dense-einsum experts (moe_dispatch=False)")
     args = ap.parse_args()
 
     from t2v_metrics_tpu.compile_cache import enable_persistent_cache
@@ -58,7 +60,7 @@ def main():
         d_model=d_model, layers=1, heads=heads, kv_heads=kv, head_dim=128,
         d_ff=0, qkv_bias=False, qk_norm=True,
         num_experts=n_exp, experts_per_tok=topk, moe_d_ff=moe_ff,
-        moe_dispatch=True, mrope_section=None)
+        moe_dispatch=not args.dense, mrope_section=None)
 
     key = jax.random.PRNGKey(0)
     params = dec.init_decoder(key, cfg, jnp.bfloat16)
@@ -104,11 +106,12 @@ def main():
 
     print(json.dumps({
         "model": "qwen3-vl-30b-a3b",
-        "protocol": f"ONE real-dims MoE decoder layer on one chip, "
-                    f"sort-based dispatch + Pallas grouped GEMM, batch "
+        "protocol": f"ONE real-dims MoE decoder layer on one chip, batch "
                     f"{B} x seq {S}, {args.iters} chained iters, best of "
                     f"{args.repeats}",
         "layer_ms": round(best * 1e3, 2),
+        "mlp_impl": "dense-einsum" if args.dense else
+                    "sort-dispatch + Pallas grouped GEMM",
         "experts": n_exp, "top_k": topk, "moe_d_ff": moe_ff,
         "active_flops_per_token_per_layer_m": round(fpt_layer / 1e6, 1),
         "layer_tokens_per_sec": round(layer_tok_s, 0),
