@@ -105,6 +105,30 @@ def main():
 
     t_intepi = timed(int_epi_chain, xq0, qw_fwd, qw_bwd)
 
+    # bf16 epilogue variant: convert the accumulator to bf16 FIRST (a
+    # pure convert may fuse into the dot output the way the integer
+    # epilogue does), then scale in bf16 — halves the unfused epilogue
+    # bytes if the convert fuses. Costs one extra bf16 rounding of the
+    # accumulator (~2^-8 relative) on top of the inherent quant noise.
+    def w8a8_bf16epi_chain(x, qf, qb, seed, n):
+        def hop(v, q):
+            cf = v.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(cf), axis=-1, keepdims=True)
+            xs = jnp.maximum(amax, 1e-12) / 127.0
+            xq = jnp.round(cf / xs).astype(jnp.int8)
+            acc = lax.dot_general(xq, q["w_q"], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.bfloat16)
+                    * xs.astype(jnp.bfloat16)
+                    * q["scale"].astype(jnp.bfloat16))
+
+        def body(_, carry):
+            y = hop(hop(carry, qf), qb)
+            return carry + y * (seed * 1e-30)
+        return lax.fori_loop(0, n, body, x)[:1, :1]
+
+    t_bf16epi = timed(w8a8_bf16epi_chain, x, qw_fwd, qw_bwd)
+
     flops = 4.0 * R * K * N                      # two matmuls per iter
     out = {
         "shape": [R, K, N],
@@ -116,6 +140,8 @@ def main():
         "int8_int_epilogue_ms": round(t_intepi * 1e3, 3),
         "int8_int_epilogue_tops": round(flops / t_intepi / 1e12, 1),
         "f32_epilogue_overhead_ms": round((t_w8a8 - t_intepi) * 1e3, 3),
+        "w8a8_bf16_epilogue_ms": round(t_bf16epi * 1e3, 3),
+        "w8a8_bf16_epilogue_tops": round(flops / t_bf16epi / 1e12, 1),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out))

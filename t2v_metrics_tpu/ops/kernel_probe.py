@@ -32,7 +32,7 @@ import sys
 # Ordered most-critical first: a probe crash loses the cases after the
 # crashing one, and missing cases are treated as failures (conservative).
 CASES = ("packed_bias", "packed_causal_gqa", "packed_segment", "flat",
-         "fused_ln", "rope_pack")
+         "fused_ln", "rope_pack", "quant_matmul")
 
 _TOL = 0.06  # bf16 softmax-weighted outputs; real lowering bugs are O(1)
 
@@ -71,6 +71,25 @@ def _run_case(name: str) -> str:
              np.asarray(pk[..., (h + kvh) * d:], np.float32)], axis=-1)
         diff = float(np.max(np.abs(got - ref)))
         return f"ok maxdiff={diff:.2e}" if diff < 0.02 else \
+            f"MISMATCH maxdiff={diff:.2e}"
+
+    if name == "quant_matmul":
+        from . import quant_matmul as QM
+
+        rng = np.random.default_rng(11)
+        M, K, Nn = 256, 512, 256
+        x_q = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+        w_q = jnp.asarray(rng.integers(-127, 128, (K, Nn)), jnp.int8)
+        xs = jnp.asarray(rng.uniform(1e-3, 2e-3, (M, 1)), jnp.float32)
+        ws = jnp.asarray(rng.uniform(1e-3, 2e-3, (Nn,)), jnp.float32)
+        got = np.asarray(QM.quant_matmul(x_q, w_q, xs, ws, bm=128, bk=256,
+                                         bn=128), np.float32)
+        ref = np.asarray(
+            (jnp.einsum("mk,kn->mn", x_q.astype(jnp.int32),
+                        w_q.astype(jnp.int32)).astype(jnp.float32)
+             * xs * ws).astype(jnp.bfloat16), np.float32)
+        diff = float(np.max(np.abs(got - ref)))
+        return f"ok maxdiff={diff:.2e}" if diff < 1e-2 else \
             f"MISMATCH maxdiff={diff:.2e}"
 
     if name == "fused_ln":
@@ -174,6 +193,8 @@ def _decide_fallbacks(results: dict) -> list:
         actions.append("no_fused_ln")
     if bad("rope_pack"):
         actions.append("no_rope_kernel")
+    if bad("quant_matmul"):
+        actions.append("no_quant_kernel")
     return actions
 
 
@@ -198,6 +219,11 @@ def _apply_fallbacks(actions) -> None:
 
         os.environ["T2V_ROPE_KERNEL"] = "0"
         R.ROPE_KERNEL = False
+    if "no_quant_kernel" in actions:
+        from . import quant_matmul as QM
+
+        os.environ["T2V_QUANT_KERNEL"] = "0"
+        QM.QUANT_KERNEL = False
 
 
 def probe_and_set_fallbacks(timeout_s: int = 600) -> dict:

@@ -63,6 +63,20 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
                 scale: jnp.ndarray) -> jnp.ndarray:
     """x (..., K) @ int8 w_q (K, N) with f32 per-channel scale (N,)."""
     x_q, xs = _quantize_rows(x)
+    from . import quant_matmul as qk
+
+    K, N = w_q.shape
+    M = x_q.size // K
+    if x.dtype == jnp.bfloat16 and qk.use_kernel(M, K, N):
+        # Pallas path: dequant epilogue fused into the dot — the XLA
+        # epilogue materializes the int32 accumulator in HBM (measured
+        # ~16% of the int8 path, scripts/int8_microbench.py). bm adapts
+        # to the row count (decoder answer rows are 128-granular).
+        bm = 256 if M % 256 == 0 else 128
+        out = qk.quant_matmul(x_q.reshape(M, K), w_q,
+                              xs.reshape(M, 1).astype(jnp.float32),
+                              scale, bm=bm)
+        return out.reshape(*x.shape[:-1], N)
     acc = lax.dot_general(x_q, w_q,
                           (((x.ndim - 1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)

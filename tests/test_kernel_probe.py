@@ -34,11 +34,14 @@ def test_decide_fallbacks_table():
     # fused LN independent of attention
     r = {"platform": "tpu", **ok, "fused_ln": "FAIL x"}
     assert kp._decide_fallbacks(r) == ["no_fused_ln"]
+    # W8A8 fused-epilogue matmul kernel independent of the rest
+    r = {"platform": "tpu", **ok, "quant_matmul": "FAIL Mosaic"}
+    assert kp._decide_fallbacks(r) == ["no_quant_kernel"]
     # a probe crash drops later cases -> missing counts as failure
     r = {"platform": "tpu", "packed_bias": "ok maxdiff=1e-3"}
     acts = kp._decide_fallbacks(r)
     assert "no_packed" in acts and "no_flash" in acts \
-        and "no_fused_ln" in acts
+        and "no_fused_ln" in acts and "no_quant_kernel" in acts
 
 
 def test_apply_fallbacks_flips_live_constants(monkeypatch):

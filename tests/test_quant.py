@@ -141,3 +141,35 @@ def test_quant_sharding_specs():
     # RMSNorm scales unaffected by the quant rules (replicated either way)
     from jax.sharding import PartitionSpec as PS
     assert blk["ln1"]["scale"] in (PS(), PS(None))
+
+
+def test_quant_matmul_kernel_interpret_parity():
+    """Pallas fused-epilogue W8A8 matmul == the jnp dequant chain
+    (interpret mode; the TPU path is numerically the same program)."""
+    from t2v_metrics_tpu.ops import quant_matmul as qk
+
+    rng = np.random.default_rng(9)
+    M, K, N = 256, 512, 256
+    x_q = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    w_q = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(1e-3, 2e-3, (M, 1)), jnp.float32)
+    ws = jnp.asarray(rng.uniform(1e-3, 2e-3, (N,)), jnp.float32)
+
+    ref = (jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+           .astype(jnp.float32) * xs * ws).astype(jnp.bfloat16)
+    out = qk.quant_matmul(x_q, w_q, xs, ws, bm=128, bk=256, bn=128,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_quant_matmul_use_kernel_gate(monkeypatch):
+    from t2v_metrics_tpu.ops import quant_matmul as qk
+    monkeypatch.setattr(qk, "_on_tpu", lambda: True)
+    monkeypatch.setattr(qk, "QUANT_KERNEL", True)
+    assert qk.use_kernel(61440, 4096, 12288)    # xxl qkv at chunk 96
+    assert qk.use_kernel(384, 10240, 4096)      # decoder wo at chunk 96
+    assert not qk.use_kernel(100, 4096, 4096)   # ragged rows
+    assert not qk.use_kernel(256, 100, 256)     # ragged K
+    monkeypatch.setattr(qk, "QUANT_KERNEL", False)
+    assert not qk.use_kernel(61440, 4096, 12288)
