@@ -80,7 +80,7 @@ def test_probe_fallback_disables_rope_kernel():
 
     ok = {c: "ok maxdiff=1e-5" for c in
           ("packed_bias", "packed_causal_gqa", "packed_segment", "flat",
-           "fused_ln")}
+           "fused_ln", "quant_matmul")}
     res = {"platform": "tpu", **ok, "rope_pack": "MISMATCH maxdiff=1.0"}
     assert _decide_fallbacks(res) == ["no_rope_kernel"]
     res["rope_pack"] = "ok maxdiff=2e-3"
