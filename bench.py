@@ -627,6 +627,38 @@ def main():
             h2d_mb_s[kind] = max(h2d_mb_s[kind], probe.nbytes / 1e6 / h2d_s)
     pixel_mb_per_chunk = probe.nbytes / 1e6
 
+    # ---- output contract (VERDICT r4 weak #1): the driver captures only
+    # the LAST ~2000 chars of stdout and parses the FINAL line as the
+    # headline JSON. Verbose sub-blocks print as separate labeled JSON
+    # lines, each flushed THE MOMENT its data exists (a timeout mid-bench
+    # must not lose everything measured so far), and the final line stays
+    # a compact headline that always fits the tail window.
+    def _emit(block: str, payload) -> None:
+        print(json.dumps({"block": block, "data": payload}), flush=True)
+
+    _emit("kernel_probe", probe_info)
+    _emit("transfer", {
+        "h2d_mb_per_s_probe": {k: round(v, 1) for k, v in h2d_mb_s.items()},
+        "pixel_mb_per_chunk": round(pixel_mb_per_chunk, 1),
+        "transfer_note": "e2e is transfer-bound (not host-CPU-bound) when "
+                         "tunnel H2D falls below pixel_mb_per_chunk / "
+                         "device-seconds-per-chunk; real TPU hosts feed "
+                         "pixels over PCIe at GB/s"})
+    _emit("hf_gpu_baselines", {
+        "legacy_estimate": HF_GPU_BASELINE_PAIRS_PER_SEC,
+        "derived": HF_BASELINE_DERIVED,
+        "derivation": "scripts/hf_gpu_baseline.py (analytic A100 model of "
+                      "the reference's unbatched per-pair loop, "
+                      "score.py:104-106/:150-153); favorable is an upper "
+                      "bound for the reference"})
+    if xl_int8 is not None:
+        _emit("xl_int8_device_only", xl_int8)
+    # partial headline: survives a timeout during the sub-benchmarks below
+    _emit("headline_partial", {
+        "pairs_per_sec_per_chip_e2e": round(pps, 3),
+        "device_only_pairs_per_sec": round(dev_pps, 3), "mfu": round(mfu, 3),
+        "pass_pairs_per_sec": [round(p, 3) for p in pass_pps]})
+
     # Video-path sub-benchmark (BASELINE config 4; skip with
     # T2V_BENCH_VIDEO=0) and the xxl piecewise real-dims projection
     # (BASELINE config 3; skip with T2V_BENCH_XXL=0). Each runs as a
@@ -654,6 +686,24 @@ def main():
     if os.environ.get("T2V_BENCH_VIDEO", "1") == "1":
         video = _sub_json([sys.executable, os.path.abspath(__file__),
                            "--video-only"], 1200)
+        _emit("video", video)
+    # the headline xxl number FIRST: the WHOLE 11B model int8 on ONE chip
+    # — an execution, not a projection (scripts/xxl_int8_onechip.py); it
+    # precedes the bf16 tp4 projection so a bench-level timeout loses the
+    # secondary block, not the primary
+    xxl_int8 = None
+    if os.environ.get("T2V_BENCH_XXL_INT8", "1") == "1":
+        xxl_int8 = _sub_json([sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts",
+            "xxl_int8_onechip.py"), "--chunk", "96"], 1800)
+        _emit("xxl_onechip_int8", xxl_int8)
+    # real-dims MoE layer measurement (VERDICT r4 item 7)
+    moe = None
+    if os.environ.get("T2V_BENCH_MOE", "1") == "1":
+        moe = _sub_json([sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts",
+            "moe_projection.py")], 900)
+        _emit("moe_projection", moe)
     xxl = None
     if os.environ.get("T2V_BENCH_XXL", "1") == "1":
         xxl = _sub_json([sys.executable, os.path.join(
@@ -663,58 +713,7 @@ def main():
             xxl["tp4_eta_source"] = ("derived from partitioned-HLO "
                                      "collective bytes, 50% overlap — "
                                      "scripts/tp_eta.py, docs/TP_ETA.json")
-    # the headline xxl number: the WHOLE 11B model int8 on ONE chip —
-    # an execution, not a projection (scripts/xxl_int8_onechip.py)
-    xxl_int8 = None
-    if os.environ.get("T2V_BENCH_XXL_INT8", "1") == "1":
-        xxl_int8 = _sub_json([sys.executable, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scripts",
-            "xxl_int8_onechip.py"), "--chunk", "96"], 1800)
-    # real-dims MoE layer measurement (VERDICT r4 item 7)
-    moe = None
-    if os.environ.get("T2V_BENCH_MOE", "1") == "1":
-        moe = _sub_json([sys.executable, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scripts",
-            "moe_projection.py")], 900)
-
-    # ---- output contract (VERDICT r4 weak #1): the driver captures only
-    # the LAST ~2000 chars of stdout and parses the FINAL line as the
-    # headline JSON. Verbose sub-blocks (video incl. nested
-    # qwen7b_projection, xxl_projection, kernel probe, transfer details)
-    # therefore print as separate labeled JSON lines FIRST, and the final
-    # line stays a compact headline that always fits the tail window.
-    print(json.dumps({"block": "kernel_probe", "data": probe_info}))
-    print(json.dumps({
-        "block": "transfer",
-        "h2d_mb_per_s_probe": {k: round(v, 1) for k, v in h2d_mb_s.items()},
-        "pixel_mb_per_chunk": round(pixel_mb_per_chunk, 1),
-        "transfer_note": "e2e is transfer-bound (not host-CPU-bound) when "
-                         "tunnel H2D falls below pixel_mb_per_chunk / "
-                         "device-seconds-per-chunk; real TPU hosts feed "
-                         "pixels over PCIe at GB/s",
-        "baseline_note": "HF-GPU reference est. 6.0 pairs/s (A100, unbatched "
-                         "per-pair loop, xl); xxl baseline derived "
-                         "separately in the xxl_projection block",
-    }))
-    if video is not None:
-        print(json.dumps({"block": "video", "data": video}))
-    if xxl is not None:
-        print(json.dumps({"block": "xxl_projection", "data": xxl}))
-    if xxl_int8 is not None:
-        print(json.dumps({"block": "xxl_onechip_int8", "data": xxl_int8}))
-    if moe is not None:
-        print(json.dumps({"block": "moe_projection", "data": moe}))
-    if xl_int8 is not None:
-        print(json.dumps({"block": "xl_int8_device_only", "data": xl_int8}))
-    print(json.dumps({
-        "block": "hf_gpu_baselines",
-        "legacy_estimate": HF_GPU_BASELINE_PAIRS_PER_SEC,
-        "derived": HF_BASELINE_DERIVED,
-        "derivation": "scripts/hf_gpu_baseline.py (analytic A100 model of "
-                      "the reference's unbatched per-pair loop, "
-                      "score.py:104-106/:150-153); favorable is an upper "
-                      "bound for the reference",
-    }))
+        _emit("xxl_projection", xxl)
 
     def _f(block, *keys, default=None):
         """Pull a nested summary number out of a sub-block, error-safe."""
@@ -774,7 +773,7 @@ def main():
             if _f(xxl_int8, "pairs_per_sec_per_chip") else None),
         "details": "full video / xxl_projection / xxl_onechip_int8 / "
                    "baselines / kernel_probe JSON on earlier labeled lines",
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

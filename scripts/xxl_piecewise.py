@@ -48,15 +48,19 @@ os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 
-def _time_calls(fn, args_fn, repeats=3):
+def _time_calls(fn, args_fn, repeats=3, label=""):
     """Best-of-repeats wall seconds for one dispatched call chain.
 
     Each repeat gets distinct arg values (args_fn(r)) — the axon tunnel
     caches repeated byte-identical executions, which would make repeats
     2+ free. Only the final tiny device->host fetch is a real sync point.
     """
+    t0 = time.perf_counter()
     out = fn(*args_fn(repeats))  # warm/compile
     np.asarray(out.ravel()[:1])
+    print(f"xxl_piecewise: {label or getattr(fn, '__name__', '?')} "
+          f"compile+warm {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr, flush=True)
     best = float("inf")
     for r in range(repeats):
         a = args_fn(r)
