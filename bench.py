@@ -43,6 +43,8 @@ from t2v_metrics_tpu.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+_PROC_T0 = time.perf_counter()
+
 # Three denominators, all reported (VERDICT r4 item 2b):
 #   * 6.0 — the legacy r01 estimate (kept as `vs_baseline` for artifact
 #     continuity across BENCH_r01..r05)
@@ -682,8 +684,19 @@ def main():
             return {"error": f"{type(e).__name__}: {e}",
                     "stderr": (r.stderr[-400:] if r is not None else "")}
 
+    # In-process wall budget measured from process start: each
+    # sub-benchmark only starts if there is plausibly time left — the
+    # FINAL headline line must always print (a driver-side kill between
+    # blocks loses it). Order encodes priority: video, then the one-chip
+    # int8 xxl (the north-star number), then moe, then the secondary
+    # bf16 tp4 projection.
+    budget_s = float(os.environ.get("T2V_BENCH_BUDGET_S", 3300))
+
+    def _have_time(need_s: float) -> bool:
+        return time.perf_counter() - _PROC_T0 + need_s < budget_s
+
     video = None
-    if os.environ.get("T2V_BENCH_VIDEO", "1") == "1":
+    if os.environ.get("T2V_BENCH_VIDEO", "1") == "1" and _have_time(500):
         video = _sub_json([sys.executable, os.path.abspath(__file__),
                            "--video-only"], 1200)
         _emit("video", video)
@@ -692,20 +705,20 @@ def main():
     # precedes the bf16 tp4 projection so a bench-level timeout loses the
     # secondary block, not the primary
     xxl_int8 = None
-    if os.environ.get("T2V_BENCH_XXL_INT8", "1") == "1":
+    if os.environ.get("T2V_BENCH_XXL_INT8", "1") == "1" and _have_time(700):
         xxl_int8 = _sub_json([sys.executable, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scripts",
             "xxl_int8_onechip.py"), "--chunk", "96"], 1800)
         _emit("xxl_onechip_int8", xxl_int8)
     # real-dims MoE layer measurement (VERDICT r4 item 7)
     moe = None
-    if os.environ.get("T2V_BENCH_MOE", "1") == "1":
+    if os.environ.get("T2V_BENCH_MOE", "1") == "1" and _have_time(300):
         moe = _sub_json([sys.executable, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scripts",
             "moe_projection.py")], 900)
         _emit("moe_projection", moe)
     xxl = None
-    if os.environ.get("T2V_BENCH_XXL", "1") == "1":
+    if os.environ.get("T2V_BENCH_XXL", "1") == "1" and _have_time(900):
         xxl = _sub_json([sys.executable, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scripts",
             "xxl_piecewise.py"), "--eta", "0.81"], 1800)

@@ -76,60 +76,12 @@ def main():
         p["t5"] = quantize_t5_params(p["t5"])
         return p
 
+    from t2v_metrics_tpu.randinit import materialize_like
+
     shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    key = jax.random.PRNGKey(0)
-
-    # Group identical (shape, dtype, kind) leaves and materialize each
-    # group in ONE stacked device call: the leaf-by-leaf loop was ~1400
-    # tunnel dispatches (~8 min); grouping gives ~20 (seconds).
-    def _kind(l):
-        if l.dtype == jnp.int8:
-            return "int8"
-        if l.ndim == 1 and l.dtype == jnp.float32:
-            # per-channel quant scales: positive, sized so int8*scale has
-            # ~the production 0.02 init std (int8 uniform std ~73)
-            return "scale"
-        if l.ndim == 1:
-            return "ones"          # norm scales / biases
-        return "normal"
-
-    groups = {}
-    for i, l in enumerate(leaves):
-        groups.setdefault((l.shape, str(l.dtype), _kind(l)), []).append(i)
-    vals = [None] * len(leaves)
-    ncalls = 0
-    for j, ((shape, _, kind), idxs) in enumerate(sorted(groups.items())):
-        dt = leaves[idxs[0]].dtype
-        leaf_bytes = int(np.prod(shape)) * dt.itemsize
-        # cap each stacked call at ~1 GiB so the transient stack + its
-        # slices never spike HBM against the 12 GB of finished params
-        per_call = max(1, (1 << 30) // max(leaf_bytes, 1))
-        for c0 in range(0, len(idxs), per_call):
-            chunk = idxs[c0:c0 + per_call]
-            k = jax.random.fold_in(key, j * 1000 + c0)
-            n = len(chunk)
-            ncalls += 1
-            if kind == "int8":
-                arr = jax.random.randint(k, (n, *shape), -127, 128,
-                                         jnp.int8)
-            elif kind == "scale":
-                arr = jax.random.uniform(k, (n, *shape), jnp.float32,
-                                         2e-4, 3.5e-4)
-            elif kind == "ones":
-                arr = jnp.ones((n, *shape), dt)
-            else:
-                arr = jax.random.normal(k, (n, *shape), dt) * 0.02
-            for t, i in enumerate(chunk):
-                vals[i] = arr[t]
-            # force the slices out and the stack freed before the next
-            # chunk (keeps the transient bounded)
-            jax.block_until_ready(vals[chunk[-1]])
-            del arr
-    params = jax.tree_util.tree_unflatten(treedef, vals)
-    jax.block_until_ready(vals[-1])
-    print(f"params materialized ({len(vals)} leaves, {ncalls} "
-          f"grouped device calls)", file=sys.stderr, flush=True)
+    params, ncalls = materialize_like(shapes, jax.random.PRNGKey(0))
+    print(f"params materialized ({ncalls} grouped device calls)",
+          file=sys.stderr, flush=True)
 
     eng = CLIPT5Engine(params, cfg, SimpleT5Tokenizer(cfg.t5.vocab_size),
                        max_pairs_per_call=P)

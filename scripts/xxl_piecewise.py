@@ -102,35 +102,51 @@ def main():
     key = jax.random.PRNGKey(0)
     kv, ke, kd, kh = jax.random.split(key, 4)
 
-    # ---- piece weights at true xxl dims (each fits the chip alone) ----
-    vis_params = {
-        "vision": jclip.init_vision(jax.random.split(kv)[0], cfg.vision, dt),
-        "projector": {
-            "fc1": {"w": jax.random.normal(
-                        jax.random.split(kv)[1],
-                        (cfg.vision.width, t5c.d_model), dt) * 0.02,
-                    "b": jnp.zeros((t5c.d_model,), dt)},
-            "fc2": {"w": jax.random.normal(
-                        kv, (t5c.d_model, t5c.d_model), dt) * 0.02,
-                    "b": jnp.zeros((t5c.d_model,), dt)},
-        },
-    }
-    enc_blk = {
-        "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
-        "attn": jt5._init_t5_attn(ke, t5c, t5c.num_buckets, dt),
-        "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
-        "mlp": jt5._init_t5_mlp(jax.random.split(ke)[0], t5c, dt),
-    }
-    kd1, kd2, kd3 = jax.random.split(kd, 3)
-    dec_blk = {
-        "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
-        "attn": jt5._init_t5_attn(kd1, t5c, t5c.num_buckets, dt),
-        "ln_cross": {"scale": jnp.ones((t5c.d_model,), dt)},
-        "cross": jt5._init_t5_attn(kd2, t5c, None, dt),
-        "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
-        "mlp": jt5._init_t5_mlp(kd3, t5c, dt),
-    }
-    lm_head = jax.random.normal(kh, (t5c.d_model, t5c.vocab_size), dt) * 0.02
+    # ---- piece weights at true xxl dims (each fits the chip alone),
+    # materialized with grouped device calls (randinit.materialize_like:
+    # leaf-by-leaf RNG dispatches through the tunnel dominated this
+    # script's wall time before) ----
+    from t2v_metrics_tpu.randinit import materialize_like
+
+    def _build_pieces(key):
+        kv, ke, kd, kh = jax.random.split(key, 4)
+        kd1, kd2, kd3 = jax.random.split(kd, 3)
+        return {
+            "vis": {
+                "vision": jclip.init_vision(jax.random.split(kv)[0],
+                                            cfg.vision, dt),
+                "projector": {
+                    "fc1": {"w": jax.random.normal(
+                                jax.random.split(kv)[1],
+                                (cfg.vision.width, t5c.d_model), dt) * 0.02,
+                            "b": jnp.zeros((t5c.d_model,), dt)},
+                    "fc2": {"w": jax.random.normal(
+                                kv, (t5c.d_model, t5c.d_model), dt) * 0.02,
+                            "b": jnp.zeros((t5c.d_model,), dt)},
+                },
+            },
+            "enc_blk": {
+                "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
+                "attn": jt5._init_t5_attn(ke, t5c, t5c.num_buckets, dt),
+                "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
+                "mlp": jt5._init_t5_mlp(jax.random.split(ke)[0], t5c, dt),
+            },
+            "dec_blk": {
+                "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
+                "attn": jt5._init_t5_attn(kd1, t5c, t5c.num_buckets, dt),
+                "ln_cross": {"scale": jnp.ones((t5c.d_model,), dt)},
+                "cross": jt5._init_t5_attn(kd2, t5c, None, dt),
+                "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
+                "mlp": jt5._init_t5_mlp(kd3, t5c, dt),
+            },
+            "lm_head": jax.random.normal(
+                kh, (t5c.d_model, t5c.vocab_size), dt) * 0.02,
+        }
+
+    pieces, _ = materialize_like(
+        jax.eval_shape(_build_pieces, key), key)
+    vis_params, enc_blk = pieces["vis"], pieces["enc_blk"]
+    dec_blk, lm_head = pieces["dec_blk"], pieces["lm_head"]
 
     if args.quant == "int8":
         # quantize the same leaves quantize_t5_params targets (projections
@@ -227,15 +243,20 @@ def main():
     # boundaries and that the iterated-single-block number reconciles
     # with a real multi-layer program.
     n_stack = 4
-    enc_blks = []
-    for j in range(n_stack):
-        kj = jax.random.fold_in(ke, 100 + j)
-        enc_blks.append({
-            "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
-            "attn": jt5._init_t5_attn(kj, t5c, t5c.num_buckets, dt),
-            "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
-            "mlp": jt5._init_t5_mlp(jax.random.fold_in(kj, 1), t5c, dt),
-        })
+
+    def _build_stack(key2):
+        out = []
+        for j in range(n_stack):
+            kj = jax.random.fold_in(key2, 100 + j)
+            out.append({
+                "ln1": {"scale": jnp.ones((t5c.d_model,), dt)},
+                "attn": jt5._init_t5_attn(kj, t5c, t5c.num_buckets, dt),
+                "ln2": {"scale": jnp.ones((t5c.d_model,), dt)},
+                "mlp": jt5._init_t5_mlp(jax.random.fold_in(kj, 1), t5c, dt),
+            })
+        return out
+
+    enc_blks, _ = materialize_like(jax.eval_shape(_build_stack, ke), ke)
     if args.quant == "int8":
         from t2v_metrics_tpu.ops import quant as Qz2
         enc_blks = Qz2.quantize_t5_params(
