@@ -57,7 +57,8 @@ def main():
 
     from t2v_metrics_tpu.engine.scoring import CLIPT5Engine
     from t2v_metrics_tpu.tokenization import SimpleT5Tokenizer
-    from t2v_metrics_tpu.ops.quant import quantize_t5_params
+    from t2v_metrics_tpu.ops.quant import (quantize_clip_vision_params,
+                                           quantize_t5_params)
 
     P = args.chunk
     cfg = cft5.CLIP_T5_CONFIGS["clip-flant5-xxl"]
@@ -74,6 +75,9 @@ def main():
         p = cft5.init_clip_t5(key, cfg, jnp.bfloat16)
         p = dict(p)
         p["t5"] = quantize_t5_params(p["t5"])
+        # the 'int8+vit' production mode (parity gated by
+        # tests/test_quant.py::test_vit_quant_score_parity)
+        p["vision"] = quantize_clip_vision_params(p["vision"])
         return p
 
     from t2v_metrics_tpu.randinit import materialize_like
@@ -150,8 +154,8 @@ def main():
 
     print(json.dumps({
         "model": "clip-flant5-xxl",
-        "protocol": f"WHOLE 11B model, W8A8 int8 T5 (production "
-                    f"quantize_t5_params path, parity gated by "
+        "protocol": f"WHOLE 11B model, W8A8 int8 T5 + vision "
+                    f"(production int8+vit path, parity gated by "
                     f"tests/test_quant.py), ONE v5e chip, single compiled "
                     f"encode+score programs, chunk={P}, best of "
                     f"{args.repeats} x {args.iters} pipelined passes",

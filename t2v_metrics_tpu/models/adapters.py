@@ -181,12 +181,17 @@ class CLIPT5Adapter(VQAScoreModel):
                 tokenizer = SimpleT5Tokenizer(cfg.t5.vocab_size)
 
         quant = self.kwargs.get("quant") or os.environ.get("T2V_QUANT")
-        if quant == "int8":
-            from ..ops.quant import quantize_t5_params
+        if quant in ("int8", "int8+vit"):
+            from ..ops.quant import (quantize_clip_vision_params,
+                                     quantize_t5_params)
             params = dict(params)
             params["t5"] = quantize_t5_params(params["t5"])
+            if quant == "int8+vit":
+                params["vision"] = quantize_clip_vision_params(
+                    params["vision"])
         elif quant:
-            raise ValueError(f"unknown quant mode {quant!r} (only 'int8')")
+            raise ValueError(
+                f"unknown quant mode {quant!r} ('int8' or 'int8+vit')")
 
         self.engine = CLIPT5Engine(
             params, cfg, tokenizer, mesh=mesh,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import layers as L
+from ..ops import quant as Q
 from ..ops.attention import attention_flat_packed
 from ..ops.image import patchify, patchify_flat, patch_perm
 
@@ -153,17 +154,17 @@ def _block(p: Params, x: jnp.ndarray, heads: int, eps: float, act: str,
     # q/k/v projections run as ONE packed width->3*width matmul (better
     # MXU efficiency than three narrow ones); the flash kernel reads the
     # packed output in place via lane-offset views.
-    w_qkv = jnp.concatenate(
-        [p["attn"]["q"]["w"], p["attn"]["k"]["w"], p["attn"]["v"]["w"]],
-        axis=1)
-    b_qkv = jnp.concatenate(
-        [p["attn"]["q"]["b"], p["attn"]["k"]["b"], p["attn"]["v"]["b"]])
-    a = attention_flat_packed(L.linear(h, w_qkv, b_qkv), heads,
-                              causal=causal, kv_mask=kv_mask)
-    x = x + L.linear(a, p["attn"]["o"]["w"], p["attn"]["o"]["b"])
+    # Q.linear_packed == the bf16 concat-weights path for plain leaves
+    # and the shared-row-quant W8A8 path for quantized ones (opt-in via
+    # ops/quant.quantize_clip_vision_params)
+    a = attention_flat_packed(
+        Q.linear_packed(h, [p["attn"]["q"], p["attn"]["k"],
+                            p["attn"]["v"]]), heads,
+        causal=causal, kv_mask=kv_mask)
+    x = x + Q.linear(a, p["attn"]["o"])
     h = L.layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], eps)
-    h = L.ACT_FNS[act](L.linear(h, p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"]))
-    x = x + L.linear(h, p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"])
+    h = L.ACT_FNS[act](Q.linear(h, p["mlp"]["fc1"]))
+    x = x + Q.linear(h, p["mlp"]["fc2"])
     return x
 
 

@@ -109,7 +109,49 @@ def mm_packed(x: jnp.ndarray, ps: list[dict]) -> jnp.ndarray:
     return x @ jnp.concatenate([p["w"] for p in ps], axis=1)
 
 
+def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Linear with optional bias through a bf16 or quantized leaf."""
+    y = mm(x, p)
+    b = p.get("b")
+    return y if b is None else y + b
+
+
+def linear_packed(x: jnp.ndarray, ps: list[dict]) -> jnp.ndarray:
+    """mm_packed with the packed bias (all-or-none across the pack)."""
+    y = mm_packed(x, ps)
+    bs = [p.get("b") for p in ps]
+    if bs[0] is None:
+        return y
+    return y + jnp.concatenate(bs)
+
+
 _QUANT_LEAVES = ("q", "k", "v", "o", "wi", "wi_0", "wi_1", "wo")
+
+
+def quantize_linear(leaf: dict) -> dict:
+    """Quantize a {"w", "b"?} linear leaf, carrying the bias through."""
+    out = quantize_weight(leaf["w"])
+    if leaf.get("b") is not None:
+        out["b"] = leaf["b"]
+    return out
+
+
+def quantize_clip_vision_params(vis: dict) -> dict:
+    """Quantize a CLIP/SigLIP-style vision tower's attention and MLP
+    linears (models/clip.py layout). Patch embedding, position embedding,
+    layer norms, and the output projection stay in the original dtype —
+    they are a tiny FLOPs fraction and the most numerically sensitive."""
+    out = dict(vis)
+    blocks = []
+    for blk in vis["blocks"]:
+        b = dict(blk)
+        b["attn"] = {k: (quantize_linear(v) if k in ("q", "k", "v", "o")
+                         else v) for k, v in blk["attn"].items()}
+        b["mlp"] = {k: (quantize_linear(v) if k in ("fc1", "fc2") else v)
+                    for k, v in blk["mlp"].items()}
+        blocks.append(b)
+    out["blocks"] = blocks
+    return out
 
 
 def quantize_t5_params(t5_params: dict) -> dict:

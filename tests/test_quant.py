@@ -173,3 +173,36 @@ def test_quant_matmul_use_kernel_gate(monkeypatch):
     assert not qk.use_kernel(256, 100, 256)     # ragged K
     monkeypatch.setattr(qk, "QUANT_KERNEL", False)
     assert not qk.use_kernel(61440, 4096, 12288)
+
+
+def test_vit_quant_score_parity():
+    """int8+vit mode (T5 AND CLIP vision tower quantized): scores still
+    within the BASELINE 1e-3 gate on the tiny golden config."""
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    imgs = [Image.fromarray(rng.integers(0, 255, (48, 64, 3),
+                                         dtype=np.uint8))]
+    ref = _tiny_scorer()(imgs, ["a red cube"])
+    qs = _tiny_scorer(quant="int8+vit")(imgs, ["a red cube"])
+    err = np.abs(np.asarray(qs, np.float64) - np.asarray(ref, np.float64))
+    assert err.max() <= 1e-3, f"int8+vit score error {err.max():.2e}"
+
+
+def test_quantize_clip_vision_selective():
+    from t2v_metrics_tpu.models import clip as jclip
+    cfg = _tiny_cfg().vision
+    vis = jclip.init_vision(jax.random.PRNGKey(3), cfg, jnp.float32)
+    qv = Q.quantize_clip_vision_params(vis)
+    blk = qv["blocks"][0]
+    assert "w_q" in blk["attn"]["q"] and "b" in blk["attn"]["q"]
+    assert "w_q" in blk["mlp"]["fc1"]
+    assert blk["ln1"]["scale"].dtype == jnp.float32
+    assert not isinstance(qv["patch_w"], dict)   # patch embed untouched
+    # quantized tower still runs and matches the f32 tower loosely
+    rng = np.random.default_rng(4)
+    px = jnp.asarray(rng.standard_normal(
+        (1, cfg.image_size, cfg.image_size, 3)), jnp.float32)
+    a = np.asarray(jclip.vision_tower(vis, cfg, px))
+    b = np.asarray(jclip.vision_tower(qv, cfg, px))
+    assert np.abs(a - b).max() <= 0.05 * max(1.0, np.abs(a).max())
