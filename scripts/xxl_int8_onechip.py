@@ -37,9 +37,11 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=96,
-                    help="pairs per compiled program (HBM headroom bound; "
-                         "128 is the headline chunk, 96/64 trade batch for "
-                         "activation memory)")
+                    help="pairs per compiled program (HBM headroom bound). "
+                         "96 is the headline chunk: with the int8+vit mode "
+                         "112 fits but measures ~3%% SLOWER (32.5 vs 33.6 "
+                         "pairs/s, 2026-08-20 v5e — HBM pressure degrades "
+                         "scheduling) and 128 still OOMs at compile time")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()

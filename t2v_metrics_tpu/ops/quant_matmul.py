@@ -16,6 +16,15 @@ XLA path (unfused epilogue and all) is strictly faster, so
 ops/quant.int8_matmul keeps XLA as production and this kernel stays a
 gated experiment with exact interpret-mode parity tests.
 
+FOLLOW-UP (2026-08-20, v5e): a bf16-first XLA epilogue (convert the
+int32 accumulator to bf16 before scaling, halving the unfused epilogue
+bytes if the convert fused into the dot) recovers only 0.8 of the
+8.5 ms epilogue+quant overhead at the xxl shapes (52.6 -> 51.7 ms vs
+the 44.1 ms int-epilogue floor; `w8a8_bf16_epilogue_ms` in
+scripts/int8_microbench.py) — the overhead is dominated by the dynamic
+per-row activation-quant pass, not the dequant write, so the f32
+epilogue stays production and no precision is traded away.
+
 Design (standard K-innermost accumulation matmul, cf. pallas guide):
   grid = (M/bm, N/bn, K/bk), dimension_semantics (parallel, parallel,
   arbitrary). int32 accumulator tile (bm, bn) lives in VMEM scratch
