@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dense", action="store_true",
                     help="A/B: dense-einsum experts (moe_dispatch=False)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed chain "
+                         "to DIR (parse with scripts/parse_xplane.py)")
     args = ap.parse_args()
 
     from t2v_metrics_tpu.compile_cache import enable_persistent_cache
@@ -92,6 +95,11 @@ def main():
         out = f(blk, x0, cos, sin, mask, jnp.bfloat16(r + 1), n=args.iters)
         np.asarray(out)
         best = min(best, (time.perf_counter() - t0) / args.iters)
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            out = f(blk, x0, cos, sin, mask, jnp.bfloat16(99), n=args.iters)
+            np.asarray(out)
 
     tokens = B * S
     # per-token active FLOPs (matmuls): qkvo GQA + top-k expert SwiGLU

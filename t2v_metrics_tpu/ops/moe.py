@@ -72,7 +72,8 @@ def plan_groups(expert_ids: jnp.ndarray, num_experts: int, block_m: int):
 
     # expert id per row block: block b belongs to expert e when
     # starts[e] <= b*block_m < starts[e] + padded[e]; padding blocks that
-    # belong to no expert get id 0 (their rows are zero, output unused)
+    # belong to no expert get id 0 (their rows hold unused filler — the
+    # combine gathers only dest slots — so their output is never read)
     nb = p_rows // block_m
     block_row = jnp.arange(nb) * block_m
     in_e = ((block_row[:, None] >= starts[None, :])
@@ -123,7 +124,14 @@ def grouped_matmul(xg: jnp.ndarray, w: jnp.ndarray,
     assert p % block_m == 0
     i_pad = _round_up(i, block_i)
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, i_pad - i)))
-    grid = (p // block_m, i_pad // block_i)
+    # Row blocks are the INNERMOST grid dim: consecutive row blocks of the
+    # same expert keep an identical weight-block index (be[pb], 0, ib), so
+    # Pallas elides the refetch — weight HBM traffic drops from one expert
+    # tile per program (n_row_blocks x n_col_tiles fetches) to ~one per
+    # (expert, col_tile). The x block refetches once per column tile
+    # instead; block_m x H is far smaller than an expert tile, a
+    # favorable trade at every real MoE dim.
+    grid = (i_pad // block_i, p // block_m)
 
     out = pl.pallas_call(
         _gmm_kernel,
@@ -132,12 +140,12 @@ def grouped_matmul(xg: jnp.ndarray, w: jnp.ndarray,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_m, h),
-                             lambda pb, ib, be: (pb, 0, 0)),
+                             lambda ib, pb, be: (pb, 0, 0)),
                 pl.BlockSpec((1, h, block_i),
-                             lambda pb, ib, be: (be[pb], 0, ib)),
+                             lambda ib, pb, be: (be[pb], 0, ib)),
             ],
             out_specs=pl.BlockSpec((1, block_m, block_i),
-                                   lambda pb, ib, be: (pb, 0, ib)),
+                                   lambda ib, pb, be: (pb, 0, ib)),
         ),
         out_shape=jax.ShapeDtypeStruct((p // block_m, block_m, i_pad),
                                        xg.dtype),
@@ -172,7 +180,18 @@ def moe_mlp_dispatch(p, cfg, x: jnp.ndarray, block_m: int = 128,
     order, dest, block_expert, p_rows = plan_groups(expert_ids, e, block_m)
 
     token_of = jnp.repeat(jnp.arange(t), k)[order]                  # (Tk,)
-    xg = jnp.zeros((p_rows, h), x.dtype).at[dest].set(xt[token_of])
+    # Build the grouped buffer as a row GATHER, not a row scatter: invert
+    # dest into a per-slot source-token index (a tiny int32 scatter), then
+    # one gather fills all P rows. A 201 MB row-scatter measured 1.86 ms
+    # per pass on the 30b-a3b layer; the equivalent gather pipelines at
+    # HBM rate. Padding slots read token row 0 — harmless duplicates (the
+    # combine below gathers ONLY dest slots, so pad-row outputs are never
+    # consumed, and row 0 is a real finite activation row so no NaN can
+    # be manufactured); zeroing them cost a separate measured 0.61 ms
+    # 201 MB select pass XLA would not fuse into the gather.
+    src = jnp.zeros((p_rows,), jnp.int32).at[dest].set(
+        token_of.astype(jnp.int32))
+    xg = xt[src]
 
     use_pallas = (impl == "pallas"
                   or (impl == "auto" and pltpu is not None
